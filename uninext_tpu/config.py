@@ -1,0 +1,238 @@
+"""Configuration for UNINEXT-TPU.
+
+Frozen dataclasses (hashable -> usable as jit static args). Field names and
+defaults mirror the reference's yacs config (`uninext/config.py:5-210` and
+`configs/image_joint_r50.yaml`) but are grouped the JAX way: a single nested,
+immutable tree. Use `dataclasses.replace` to derive variants.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneConfig:
+    # one of: "resnet50", "convnext_large", "vit_huge"
+    name: str = "resnet50"
+    # strides of the backbone feature maps fed to the transformer
+    out_strides: Tuple[int, ...] = (8, 16, 32)
+    out_channels: Tuple[int, ...] = (512, 1024, 2048)
+    # freeze stem + stage1 like detectron2's FREEZE_AT=2 default
+    freeze_at: int = 2
+    # ViT specifics (ViTDet-style plain backbone; reference uninext/backbone/vit.py)
+    vit_patch_size: int = 16
+    vit_embed_dim: int = 1280
+    vit_depth: int = 32
+    vit_num_heads: int = 16
+    vit_window_size: int = 16
+    vit_global_blocks: Tuple[int, ...] = (7, 15, 23, 31)
+    # ConvNeXt specifics
+    convnext_depths: Tuple[int, ...] = (3, 3, 27, 3)
+    convnext_dims: Tuple[int, ...] = (192, 384, 768, 1536)
+    drop_path_rate: float = 0.0
+    # 4-channel template backbone (SOT/VOS); reference uninext_vid.py:160-167
+    in_channels: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class LanguageConfig:
+    # BERT-base-uncased encoder; reference models/deformable_detr/bert_model.py
+    vocab_size: int = 30522
+    hidden_dim: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_dim: int = 3072
+    max_len: int = 256          # MODEL.LANGUAGE_BACKBONE.MAX_QUERY_LEN
+    type_vocab_size: int = 2
+    max_position_embeddings: int = 512
+    freeze: bool = False        # MODEL.FREEZE_TEXT_ENCODER
+    # PARALLEL_DET builds a block-diagonal attention mask per class name
+    parallel_det: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    # reference: MODEL.DDETRS.* (uninext/config.py:156-183, image_joint_r50.yaml)
+    d_model: int = 256
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    enc_layers: int = 6
+    dec_layers: int = 6
+    num_vl_layers: int = 1       # early-fusion layers (first N encoder layers)
+    vl_hidden_dim: int = 2048    # BiAttention embed dim
+    enc_n_points: int = 4
+    dec_n_points: int = 4
+    num_feature_levels: int = 4
+    num_queries: int = 900       # NUM_OBJECT_QUERIES == TWO_STAGE_NUM_PROPOSALS
+    two_stage: bool = True
+    mixed_selection: bool = True
+    look_forward_twice: bool = True
+    dropout: float = 0.0
+    use_dino: bool = True
+    # denoising (MODEL.DDETRS.DN_*)
+    dn_number: int = 100
+    label_noise_ratio: float = 0.5
+    box_noise_scale: float = 1.0
+    # decoupled target (MODEL.DECOUPLE_TGT / STILL_TGT_FOR_BOTH)
+    decouple_tgt: bool = True
+    still_tgt_for_both: bool = True
+    use_early_fusion: bool = True
+    use_additional_bert: bool = False
+    still_cls_for_encoder: bool = True
+    use_iou_branch: bool = True
+    # VL_Align (MODEL.DYHEAD.*)
+    log_scale: float = 0.0
+    prior_prob: float = 0.01
+    clamp_dot_product: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskHeadConfig:
+    # CondInst dynamic mask head; reference models/ddetrs.py:29-82
+    enabled: bool = True
+    dynamic_mask_channels: int = 8
+    controller_layers: int = 3     # MODEL.DDETRS.CTRL_LAYERS
+    mask_out_stride: int = 4       # MODEL.DDETRS.MASK_STRIDE
+    rel_coord: bool = True         # MODEL.DDETRS.USE_REL_COORD
+    new_mask_head: bool = False
+    use_raft: bool = False
+    max_insts: int = 100           # static bound on matched instances per image
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    # reference loss weights (uninext/config.py:141-150) and matcher costs
+    class_weight: float = 2.0
+    l1_weight: float = 5.0
+    giou_weight: float = 2.0
+    mask_weight: float = 2.0
+    dice_weight: float = 5.0
+    reid_weight: float = 2.0
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    aux_loss: bool = True
+    # matcher
+    ota: bool = True               # MODEL.OTA (simOTA dynamic-k for decoder layers)
+    set_cost_class: float = 2.0
+    set_cost_box: float = 5.0
+    set_cost_giou: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SotConfig:
+    # reference SOT.* (uninext/config.py:58-69)
+    template_size: int = 256
+    search_area_factor: float = 2.0
+    ref_feat_size: int = 8
+    extra_backbone_for_template: bool = False
+    feature_fusion: bool = False
+    online_update: bool = False
+    update_interval: int = 200
+    update_threshold: float = 0.7
+    inference_on_3f: bool = False
+    inst_threshold_vos: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackConfig:
+    # reference TRACK.* / MODEL.IDOL.* (uninext/config.py:53-55,124-134)
+    init_score_thr: float = 0.5
+    obj_score_thr: float = 0.3
+    inference_select_thr: float = 0.1
+    apply_cls_thr: float = 0.05
+    temporal_score_type: str = "mean"
+    memory_len: int = 3
+    frame_weight: bool = True
+    temporal_weight: bool = True
+    multi_cls_on: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    max_insts: int = 100            # static per-image GT bound
+    max_text_len: int = 256
+    pixel_mean: Tuple[float, float, float] = (123.675, 116.280, 103.530)
+    pixel_std: Tuple[float, float, float] = (58.395, 57.120, 57.375)
+    size_divisibility: int = 32
+    # multi-scale shortest-edge buckets at train; one bucket per compiled shape
+    min_size_train: Tuple[int, ...] = (480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800)
+    max_size_train: int = 1333
+    min_size_test: int = 800
+    max_size_test: int = 1333
+    sampling_frame_num: int = 2
+    sampling_frame_range: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    # reference image_joint_r50.yaml SOLVER.*
+    base_lr: float = 2e-4
+    lang_lr: float = 1e-5
+    vl_lr: float = 2e-4
+    backbone_multiplier: float = 0.1
+    linear_proj_multiplier: float = 0.1
+    weight_decay: float = 0.05
+    grad_clip: float = 0.1
+    warmup_iters: int = 200
+    warmup_factor: float = 1.0
+    steps: Tuple[int, ...] = (76658,)
+    gamma: float = 0.1
+    max_iter: int = 91990
+    ims_per_batch: int = 32
+    checkpoint_period: int = 2500
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    # mesh axes: data (batch), model (reserved for TP of ViT-H)
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallel_size: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class UninextConfig:
+    backbone: BackboneConfig = BackboneConfig()
+    language: LanguageConfig = LanguageConfig()
+    transformer: TransformerConfig = TransformerConfig()
+    mask_head: MaskHeadConfig = MaskHeadConfig()
+    loss: LossConfig = LossConfig()
+    sot: SotConfig = SotConfig()
+    track: TrackConfig = TrackConfig()
+    data: DataConfig = DataConfig()
+    solver: SolverConfig = SolverConfig()
+    parallel: ParallelConfig = ParallelConfig()
+    # compute dtype for backbone/transformer matmuls; params & heads stay f32
+    compute_dtype: str = "bfloat16"
+    # reid embedding head (video tasks)
+    use_reid: bool = False
+    reid_layers: int = 3
+
+
+def image_joint_r50() -> UninextConfig:
+    """Stage-2 flagship: R50, 900 queries, DINO two-stage, OTA, IoU branch.
+
+    Mirrors reference configs/image_joint_r50.yaml.
+    """
+    return UninextConfig()
+
+
+def video_joint_r50() -> UninextConfig:
+    """Stage-3: adds reid head + 2-frame clips (reference configs/video_joint_r50.yaml)."""
+    return dataclasses.replace(image_joint_r50(), use_reid=True)
+
+
+def tiny_test_config() -> UninextConfig:
+    """Small config for unit tests: 2 layers, 60 queries, small dims."""
+    return UninextConfig(
+        backbone=BackboneConfig(name="resnet50", out_channels=(512, 1024, 2048)),
+        language=LanguageConfig(num_layers=2, hidden_dim=64, num_heads=4,
+                                intermediate_dim=128, max_len=32),
+        transformer=TransformerConfig(
+            d_model=64, nheads=4, dim_feedforward=128, enc_layers=2, dec_layers=2,
+            num_vl_layers=1, vl_hidden_dim=64, num_queries=60, dn_number=10),
+        mask_head=MaskHeadConfig(max_insts=20),
+        data=DataConfig(max_insts=20, max_text_len=32),
+        compute_dtype="float32",
+    )
