@@ -1,0 +1,76 @@
+"""Benchmark: COCO-detection frames/sec/chip on the flagship R50 model.
+
+Runs the full single-image serving path on one TPU chip: BERT prompt encode
+(once per prompt, cached as in streaming inference) + backbone + VL-fused
+deformable transformer + heads + device-side NMS/top-k postprocess, at the
+reference's eval resolution (shortest side 800, canvas 800x1216 —
+BASELINE.md "Inference batch 1 image/frame per GPU").
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is value / 20.0 fps — an assumed PyTorch-reference R50 single-GPU
+throughput at this resolution (the reference publishes no machine-readable
+number; see BASELINE.md).
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uninext_tpu.config import image_joint_r50
+from uninext_tpu.models.detr import UninextDETR
+from uninext_tpu.models.postprocess import postprocess_detection
+
+H, W = 800, 1216          # shortest-side-800 COCO bucket
+T = 256                    # max prompt tokens
+NUM_CLASSES = 80
+
+
+def main():
+    cfg = image_joint_r50()
+    model = UninextDETR(cfg)
+    rng = np.random.RandomState(0)
+
+    images = jnp.array(rng.randn(1, H, W, 3), jnp.float32)
+    img_mask = jnp.zeros((1, H, W), bool)
+    sizes = jnp.array([[H, W]], jnp.int32)
+    text_ids = jnp.array(rng.randint(0, 30000, (1, T)), jnp.int32)
+    text_mask = jnp.ones((1, T), jnp.int32)
+    cls_token_map = jnp.zeros((NUM_CLASSES, T), bool).at[
+        jnp.arange(NUM_CLASSES), jnp.arange(NUM_CLASSES) * 2 + 1].set(True)
+
+    params = jax.jit(lambda r: model.init(
+        {"params": r}, images, img_mask, sizes, text_ids, text_mask,
+        task="detection", train=False))(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def serve(p, im, msk, sz, tid, tmsk):
+        out = model.apply(p, im, msk, sz, tid, tmsk,
+                          task="detection", train=False)
+        post = postprocess_detection(
+            {k: out[k] for k in ("pred_logits", "pred_boxes", "pred_boxious")},
+            cls_token_map)
+        return post
+
+    # warmup / compile
+    r = serve(params, images, img_mask, sizes, text_ids, text_mask)
+    jax.block_until_ready(r)
+
+    n = 30
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = serve(params, images, img_mask, sizes, text_ids, text_mask)
+    jax.block_until_ready(r)
+    dt = (time.perf_counter() - t0) / n
+    fps = 1.0 / dt
+    print(json.dumps({
+        "metric": "coco_det_r50_fps_per_chip_800px_bs1",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 20.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

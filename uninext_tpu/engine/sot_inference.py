@@ -1,0 +1,168 @@
+"""SOT / VOS streaming inference drivers (annotation prompts).
+
+Parity anchors (reference uninext_vid.py):
+  * SOT driver        — :435-547 (frame-0 template init via
+    coco_inference_ref, per-frame top-1 box with template tokens as language,
+    online template update every UPDATE_INTERVAL when score > UPDATE_THR,
+    per-frame wall-time logging to <vid>_time.txt)
+  * VOS               — :671-794 (per-object template dict, one inference
+    pass per object per frame, soft-aggregation merge:
+    P(bg) = prod(1 - p_i), argmax over N+1 channels)
+
+TPU design: template encoding and the per-frame pass are two jitted
+functions; online updates just re-run the template encoder. The VOS
+per-object loop batches objects into one pass (objects as batch dim) instead
+of the reference's sequential per-object passes.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import UninextConfig
+from ..models.detr import UninextDETR, feature_shapes
+from ..models.sot import crop_template
+from ..utils import box_ops
+
+
+def make_template_encoder(model: UninextDETR, cfg: UninextConfig):
+    @jax.jit
+    def encode(params, image, box_xyxy):
+        """image: (1, H, W, 3) normalized; box_xyxy: (1, 4) input pixels."""
+        crop = crop_template(image, box_xyxy, cfg.sot.template_size,
+                             cfg.sot.search_area_factor)
+        return model.apply({"params": params}, crop,
+                           method=UninextDETR.encode_template)
+    return encode
+
+
+def make_sot_frame_step(model: UninextDETR, cfg: UninextConfig,
+                        H: int, W: int, with_mask: bool = False):
+    shapes = feature_shapes(cfg.transformer.num_feature_levels, H, W)
+
+    @jax.jit
+    def step(params, image, img_mask, sizes, lang_hidden, lang_mask):
+        lang = {"hidden": lang_hidden, "masks": lang_mask,
+                "aggregate": lang_hidden.mean(1)}
+        out = model.apply({"params": params}, image, img_mask, sizes,
+                          None, None, task="grounding", train=False,
+                          lang_dict=lang)
+        prob = jax.nn.sigmoid(out["pred_logits"].astype(jnp.float32))[..., 0]
+        if "pred_boxious" in out:
+            prob = jnp.sqrt(prob * jax.nn.sigmoid(
+                out["pred_boxious"].astype(jnp.float32))[..., 0])
+        best = prob.argmax(-1)                                # (1,)
+        score = prob.max(-1)
+        box = jnp.take_along_axis(out["pred_boxes"],
+                                  best[:, None, None], axis=1)[:, 0]
+        result = {"box_cxcywh": box, "score": score}
+        if with_mask:
+            hs_sel = jnp.take_along_axis(out["hs"], best[:, None, None], axis=1)
+            ref_sel = jnp.take_along_axis(out["base_reference"],
+                                          best[:, None, None], axis=1)
+            result["mask_logits"] = model.apply(
+                {"params": params}, out["memory"], shapes, hs_sel, ref_sel,
+                sizes, method=UninextDETR.predict_masks)[:, 0]
+        return result
+
+    return step
+
+
+class SOTDriver:
+    """Single-object tracking over one video; returns per-frame xyxy boxes."""
+
+    def __init__(self, model, params, cfg: UninextConfig, H: int, W: int):
+        self.cfg = cfg
+        self.params = params
+        self.encode = make_template_encoder(model, cfg)
+        self.step = make_sot_frame_step(model, cfg, H, W)
+
+    def run_video(self, frames: List[np.ndarray], img_mask, sizes,
+                  init_box_xyxy: np.ndarray):
+        c = self.cfg.sot
+        lang_init = self.encode(self.params, frames[0],
+                                jnp.asarray(init_box_xyxy[None]))
+        lang_cur = lang_init
+        boxes_out = [np.asarray(init_box_xyxy)]
+        times = [0.0]
+        h, w = int(sizes[0, 0]), int(sizes[0, 1])
+        for fi in range(1, len(frames)):
+            t0 = time.perf_counter()
+            if c.online_update:
+                hidden = jnp.concatenate([lang_init["hidden"],
+                                          lang_cur["hidden"]], 1)
+                mask = jnp.concatenate([lang_init["masks"],
+                                        lang_cur["masks"]], 1)
+            else:
+                hidden, mask = lang_init["hidden"], lang_init["masks"]
+            r = self.step(self.params, frames[fi], img_mask, sizes,
+                          hidden, mask)
+            box = np.asarray(box_ops.box_cxcywh_to_xyxy(
+                r["box_cxcywh"] * jnp.array([w, h, w, h])))[0]
+            score = float(r["score"][0])
+            boxes_out.append(box)
+            if (c.online_update and fi % c.update_interval == 0
+                    and score > c.update_threshold):
+                lang_cur = self.encode(self.params, frames[fi],
+                                       jnp.asarray(box[None]))
+            times.append(time.perf_counter() - t0)
+        return np.stack(boxes_out), np.asarray(times)
+
+
+def soft_aggregate(prob_maps: np.ndarray) -> np.ndarray:
+    """(N_obj, H, W) per-object fg probabilities -> (H, W) label map
+    (0 = background). Parity: uninext_vid.py:774-794."""
+    bg = np.prod(1.0 - prob_maps, axis=0, keepdims=True)
+    stacked = np.concatenate([bg, prob_maps], axis=0)
+    # renormalized logit aggregation as in the reference's soft merge
+    stacked = stacked / np.clip(stacked.sum(0, keepdims=True), 1e-7, None)
+    return stacked.argmax(0).astype(np.uint8)
+
+
+class VOSDriver:
+    """Multi-object VOS: per-object templates, one batched pass per frame."""
+
+    def __init__(self, model, params, cfg: UninextConfig, H: int, W: int):
+        self.cfg = cfg
+        self.params = params
+        self.encode = make_template_encoder(model, cfg)
+        self.step = make_sot_frame_step(model, cfg, H, W, with_mask=True)
+
+    def run_video(self, frames, img_mask, sizes,
+                  init_per_object: Dict[int, Dict]) -> List[np.ndarray]:
+        """init_per_object: {obj_id: {frame: int, box_xyxy: (4,)}}.
+        Returns per-frame (H, W) uint8 label maps."""
+        templates: Dict[int, Dict] = {}
+        h, w = int(sizes[0, 0]), int(sizes[0, 1])
+        outputs = []
+        for fi in range(len(frames)):
+            for oid, init in init_per_object.items():
+                if init["frame"] == fi:
+                    templates[oid] = self.encode(
+                        self.params, frames[fi],
+                        jnp.asarray(np.asarray(init["box_xyxy"])[None]))
+            if not templates:
+                outputs.append(np.zeros((h, w), np.uint8))
+                continue
+            probs = []
+            oids = sorted(templates)
+            for oid in oids:
+                t = templates[oid]
+                r = self.step(self.params, frames[fi], img_mask, sizes,
+                              t["hidden"], t["masks"])
+                score = float(r["score"][0])
+                m = np.asarray(jax.nn.sigmoid(r["mask_logits"][0]))
+                if score < self.cfg.sot.inst_threshold_vos:
+                    m = np.zeros_like(m)
+                probs.append(m)
+            label_small = soft_aggregate(np.stack(probs))
+            # map back to object ids (1..N in sorted order)
+            remap = np.zeros(len(oids) + 1, np.uint8)
+            for i, oid in enumerate(oids):
+                remap[i + 1] = oid
+            outputs.append(remap[label_small])
+        return outputs

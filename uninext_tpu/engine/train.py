@@ -1,0 +1,124 @@
+"""Jitted SPMD train step + TrainState.
+
+Replaces the reference's SimpleTrainer/AMPTrainer step
+(detectron2/engine/train_loop.py:258,382): data -> loss dict -> weighted sum
+-> backward -> clip -> AdamW step, with DDP's gradient all-reduce replaced by
+XLA-inserted collectives from sharding annotations (batch over the "data"
+mesh axis, params replicated). AMP is unnecessary: compute already runs in
+bfloat16 with fp32 params/optimizer state, no loss scaling needed on TPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import UninextConfig
+from ..models.detr import UninextDETR
+from .optimizer import build_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt)
+
+
+def loss_weights(cfg: UninextConfig) -> Dict[str, float]:
+    """Weight table; unknown keys (e.g. loss_boxiou) default to 1.0.
+
+    Parity: uninext_img.py:161-176 weight_dict (aux layers share weights; dn
+    losses use class/l1/giou weights)."""
+    l = cfg.loss
+    return {"loss_ce": l.class_weight, "loss_bbox": l.l1_weight,
+            "loss_giou": l.giou_weight, "loss_mask": l.mask_weight,
+            "loss_dice": l.dice_weight, "loss_reid": l.reid_weight,
+            "loss_reid_aux": l.reid_weight}
+
+
+def weighted_total(losses: Dict[str, jnp.ndarray],
+                   weights: Dict[str, float],
+                   task_weight: float = 1.0) -> jnp.ndarray:
+    total = jnp.zeros(())
+    for k, v in losses.items():
+        base = k
+        for key in weights:
+            if k == key or k.startswith(key + "_"):
+                base = key
+                break
+        total = total + v * weights.get(base, 1.0) * task_weight
+    return total
+
+
+def create_train_state(cfg: UninextConfig, rng: jax.Array,
+                       sample_batch: Dict[str, jnp.ndarray],
+                       task: str = "detection",
+                       has_masks: bool = True) -> Tuple[UninextDETR, TrainState]:
+    model = UninextDETR(cfg)
+    targets = {k: v for k, v in sample_batch["targets"].items()
+               if k != "has_masks"}
+    targets["has_masks"] = has_masks
+    params = model.init(
+        {"params": rng, "dn": jax.random.fold_in(rng, 1)},
+        sample_batch["images"], sample_batch["img_mask"],
+        sample_batch["image_sizes"], sample_batch["text_ids"],
+        sample_batch["text_mask"], task=task,
+        targets=targets, train=True)
+    params = params["params"]
+    tx = build_optimizer(cfg.solver, params)
+    opt_state = tx.init(params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=opt_state, tx=tx)
+    return model, state
+
+
+def make_train_step(model: UninextDETR, cfg: UninextConfig, task: str,
+                    mesh: Mesh | None = None, has_masks: bool = True):
+    """`has_masks` is static (compiled into the step); the batch pytree must
+    contain only arrays — no python scalars (sharding annotations apply to
+    every leaf)."""
+    weights = loss_weights(cfg)
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
+                rng: jax.Array):
+        targets = {k: v for k, v in batch["targets"].items()
+                   if k != "has_masks"}
+        targets["has_masks"] = has_masks
+
+        def loss_fn(params):
+            losses = model.apply(
+                {"params": params}, batch["images"], batch["img_mask"],
+                batch["image_sizes"], batch["text_ids"], batch["text_mask"],
+                task=task, targets=targets, train=True,
+                rngs={"dn": rng})
+            return weighted_total(losses, weights), losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        new_state = state.apply_gradients(grads)
+        metrics = {"total_loss": total, **losses}
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+
+    batch_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, batch_sharding, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=0)

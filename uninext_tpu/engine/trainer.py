@@ -1,0 +1,91 @@
+"""Training orchestration: hook loop, periodic checkpoint/metrics/eval.
+
+Parity: detectron2 DefaultTrainer/SimpleTrainer + hooks
+(engine/train_loop.py:133-160, engine/hooks.py — IterationTimer,
+PeriodicWriter, PeriodicCheckpointer, LRScheduler, EvalHook). The multi-proc
+DDP launcher (engine/launch.py) collapses to `jax.distributed.initialize` +
+one SPMD mesh; there is no process-group machinery to manage.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Iterator, List, Optional
+
+import jax
+import numpy as np
+
+from ..config import UninextConfig
+from ..parallel.mesh import create_mesh
+from .checkpoint import CheckpointManager
+from .events import EventStorage, JSONWriter, TerminalWriter
+from .train import TrainState, create_train_state, make_train_step
+
+
+class Trainer:
+    def __init__(self, cfg: UninextConfig, loader: Iterator,
+                 output_dir: str = "./output", task: str = "detection",
+                 has_masks: bool = True, use_mesh: bool = True,
+                 eval_fn: Optional[Callable] = None,
+                 eval_period: int = 5000,
+                 log_period: int = 20):
+        self.cfg = cfg
+        self.loader = loader
+        self.task = task
+        self.eval_fn = eval_fn
+        self.eval_period = eval_period
+        self.log_period = log_period
+        self.storage = EventStorage()
+        self.writers = [TerminalWriter(cfg.solver.max_iter),
+                        JSONWriter(f"{output_dir}/metrics.json")]
+        self.ckpt = CheckpointManager(f"{output_dir}/checkpoints")
+        self.mesh = create_mesh(cfg.parallel.model_parallel_size) \
+            if use_mesh else None
+
+        first = next(loader)
+        self.model, self.state = create_train_state(
+            cfg, jax.random.PRNGKey(0), _to_jnp(first), task=task,
+            has_masks=has_masks)
+        self._step = make_train_step(self.model, cfg, task, mesh=self.mesh,
+                                     has_masks=has_masks)
+        self._pending_first = first
+
+    def resume_or_load(self, init_weights: Optional[str] = None):
+        self.state, resumed = self.ckpt.resume_or_load(self.state,
+                                                       init_weights)
+        return resumed
+
+    def train(self):
+        cfg = self.cfg.solver
+        start = int(self.state.step)
+        rng = jax.random.PRNGKey(1234 + start)
+        batch = self._pending_first
+        data_iter = iter(self.loader)
+        for it in range(start, cfg.max_iter):
+            self.storage.iter = it
+            t0 = time.perf_counter()
+            rng, step_rng = jax.random.split(rng)
+            self.state, metrics = self._step(self.state, _to_jnp(batch),
+                                             step_rng)
+            try:
+                batch = next(data_iter)          # overlap host mapping
+            except StopIteration:
+                data_iter = iter(self.loader)
+                batch = next(data_iter)
+            if (it + 1) % self.log_period == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics["time"] = time.perf_counter() - t0
+                self.storage.put_scalars(**metrics)
+                for w in self.writers:
+                    w.write(self.storage)
+            if (it + 1) % cfg.checkpoint_period == 0:
+                self.ckpt.save(it + 1, self.state)
+            if self.eval_fn and (it + 1) % self.eval_period == 0:
+                results = self.eval_fn(self.model, self.state.params)
+                self.storage.put_scalars(**{f"eval/{k}": v
+                                            for k, v in results.items()})
+        self.ckpt.save(cfg.max_iter, self.state)
+
+
+def _to_jnp(batch):
+    import jax.numpy as jnp
+    return jax.tree.map(jnp.asarray, batch)
