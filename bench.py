@@ -44,7 +44,6 @@ def main():
         {"params": r}, images, img_mask, sizes, text_ids, text_mask,
         task="detection", train=False))(jax.random.PRNGKey(0))
 
-    @jax.jit
     def serve(p, im, msk, sz, tid, tmsk):
         out = model.apply(p, im, msk, sz, tid, tmsk,
                           task="detection", train=False)
@@ -53,16 +52,31 @@ def main():
             cls_token_map)
         return post
 
-    # warmup / compile
-    r = serve(params, images, img_mask, sizes, text_ids, text_mask)
-    jax.block_until_ready(r)
+    # NOTE on methodology: the axon backend neither blocks in
+    # block_until_ready nor runs duplicate dispatches (results are
+    # memoized), so we time N in-graph iterations with a perturbed input
+    # inside ONE jit and sync via scalar readback, subtracting the measured
+    # dispatch+readback overhead.
+    n = 20
 
-    n = 30
+    @jax.jit
+    def loop(p, im, msk, sz, tid, tmsk):
+        def body(i, acc):
+            r = serve(p, im + i * 1e-9, msk, sz, tid, tmsk)
+            return acc + r["scores"].sum() + r["boxes"].sum()
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    trivial = jax.jit(lambda im: im.sum())
+    float(trivial(images))
     t0 = time.perf_counter()
-    for _ in range(n):
-        r = serve(params, images, img_mask, sizes, text_ids, text_mask)
-    jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / n
+    float(trivial(images + 1))
+    overhead = time.perf_counter() - t0
+
+    float(loop(params, images, img_mask, sizes, text_ids, text_mask))
+    images2 = images * 1.000001  # defeat the backend's result memoization
+    t0 = time.perf_counter()
+    float(loop(params, images2, img_mask, sizes, text_ids, text_mask))
+    dt = (time.perf_counter() - t0 - overhead) / n
     fps = 1.0 / dt
     print(json.dumps({
         "metric": "coco_det_r50_fps_per_chip_800px_bs1",

@@ -2,69 +2,46 @@
 
 Replaces the reference's COCOEvaluator + COCOeval_opt
 (detectron2/evaluation/coco_evaluation.py, layers/csrc/cocoeval/ — SURVEY N5)
-with a vectorized numpy implementation of the standard COCOeval protocol:
-greedy score-ordered IoU matching per (image, category), 10 IoU thresholds
-.5:.05:.95, 101-point interpolated PR curves, area ranges, maxDets=100.
-A C++ drop-in (evaluation/cocoeval_cpp) accelerates the hot matching loop.
+with the standard COCOeval protocol: greedy score-ordered IoU matching per
+(image, category, area-range) with ignored-gt semantics, 10 IoU thresholds
+.5:.05:.95, 101-point interpolated PR curves, maxDets=100. The hot matching
+loop runs in C++ (evaluation/cocoeval_cpp via fast_eval.coco_match).
 
 Also implements the RefCOCO metrics (P@0.5 / oIoU) from
 detectron2/evaluation/coco_evaluation.py:407 `_derive_refcoco_results`.
 """
 from __future__ import annotations
 
-from collections import defaultdict
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List
 
 import numpy as np
 
-IOU_THRS = np.linspace(0.5, 0.95, 10)
+from .fast_eval import coco_match
+
+IOU_THRS = np.linspace(0.5, 0.95, 10).astype(np.float32)
 RECALL_THRS = np.linspace(0.0, 1.0, 101)
 AREA_RNGS = {"all": (0.0, 1e10), "small": (0.0, 32.0 ** 2),
              "medium": (32.0 ** 2, 96.0 ** 2), "large": (96.0 ** 2, 1e10)}
 
 
 def box_iou_xyxy(d: np.ndarray, g: np.ndarray) -> np.ndarray:
-    """(N,4) x (M,4) -> (N,M)"""
     if len(d) == 0 or len(g) == 0:
-        return np.zeros((len(d), len(g)))
+        return np.zeros((len(d), len(g)), np.float32)
     lt = np.maximum(d[:, None, :2], g[None, :, :2])
     rb = np.minimum(d[:, None, 2:], g[None, :, 2:])
     wh = np.clip(rb - lt, 0, None)
     inter = wh[..., 0] * wh[..., 1]
     area_d = (d[:, 2] - d[:, 0]) * (d[:, 3] - d[:, 1])
     area_g = (g[:, 2] - g[:, 0]) * (g[:, 3] - g[:, 1])
-    return inter / np.maximum(area_d[:, None] + area_g[None] - inter, 1e-9)
-
-
-def _match_one(ious: np.ndarray, n_gt: int):
-    """Greedy COCO matching for one (img, cat): ious (n_det, n_gt) with dets
-    pre-sorted by descending score. Returns det_match (n_det, n_thr) of gt
-    index or -1."""
-    n_det = ious.shape[0]
-    T = len(IOU_THRS)
-    det_match = np.full((n_det, T), -1, np.int64)
-    for ti, thr in enumerate(IOU_THRS):
-        taken = np.zeros(n_gt, bool)
-        for di in range(n_det):
-            best, best_iou = -1, thr
-            for gi in range(n_gt):
-                if taken[gi]:
-                    continue
-                if ious[di, gi] >= best_iou:
-                    best, best_iou = gi, ious[di, gi]
-            if best >= 0:
-                taken[best] = True
-                det_match[di, ti] = best
-    return det_match
+    return (inter / np.maximum(area_d[:, None] + area_g[None] - inter, 1e-9)
+            ).astype(np.float32)
 
 
 class COCOEvaluator:
     """Accumulates per-image predictions; computes AP/AP50/AP75/APs/m/l.
 
-    predictions: per image, dict(image_id, boxes (N,4) xyxy abs, scores (N,),
-    classes (N,) contiguous ids, [masks: list of (H,W) bool]).
-    ground truth: same layout with `areas` from the annotations.
-    """
+    add(gt, pred) per image with dict(boxes (N,4) xyxy abs, scores, classes,
+    [masks list of (H,W) bool], gt additionally [areas])."""
 
     def __init__(self, iou_type: str = "bbox", max_dets: int = 100):
         self.iou_type = iou_type
@@ -81,8 +58,9 @@ class COCOEvaluator:
             return box_iou_xyxy(pred["boxes"], gt["boxes"])
         from ..data.masks import mask_iou
         if len(pred.get("masks", [])) == 0 or len(gt.get("masks", [])) == 0:
-            return np.zeros((len(pred["boxes"]), len(gt["boxes"])))
-        return mask_iou(np.stack(pred["masks"]), np.stack(gt["masks"]))
+            return np.zeros((len(pred["boxes"]), len(gt["boxes"])), np.float32)
+        return mask_iou(np.stack(pred["masks"]),
+                        np.stack(gt["masks"])).astype(np.float32)
 
     def evaluate(self) -> Dict[str, float]:
         cats = sorted({int(c) for g in self._gts for c in g["classes"]})
@@ -91,71 +69,72 @@ class COCOEvaluator:
         recall = -np.ones((T, K, A))
 
         for ki, cat in enumerate(cats):
-            # gather per-image matches for this category
-            per_area = {a: {"scores": [], "tp": [], "n_gt": 0, "ignore": []}
-                        for a in AREA_RNGS}
-            entries = []
+            per_img = []
             for gt, pred in zip(self._gts, self._preds):
                 g_sel = np.asarray(gt["classes"]) == cat
                 p_sel = np.asarray(pred["classes"]) == cat
-                g = {k: np.asarray(v)[g_sel] for k, v in gt.items()
-                     if k not in ("image_id",) and not np.isscalar(v)}
-                p = {k: (np.asarray(v)[p_sel] if k != "masks" else
-                         [m for m, s in zip(v, p_sel) if s])
-                     for k, v in pred.items()
-                     if k not in ("image_id",) and not np.isscalar(v)}
-                order = np.argsort(-p["scores"])[:self.max_dets]
-                p = {k: (v[order] if k != "masks" else [v[i] for i in order])
-                     for k, v in p.items()}
-                ious = self._iou(p, g)
-                det_match = _match_one(ious, len(g["boxes"]))
-                entries.append((g, p, det_match))
+                g_boxes = np.asarray(gt["boxes"], np.float32)[g_sel]
+                g_areas = (np.asarray(gt["areas"])[g_sel]
+                           if "areas" in gt else
+                           (g_boxes[:, 2] - g_boxes[:, 0]) *
+                           (g_boxes[:, 3] - g_boxes[:, 1]))
+                p_boxes = np.asarray(pred["boxes"], np.float32)[p_sel]
+                p_scores = np.asarray(pred["scores"], np.float32)[p_sel]
+                order = np.argsort(-p_scores, kind="mergesort")[:self.max_dets]
+                entry = {"g_boxes": g_boxes, "g_areas": g_areas,
+                         "p_boxes": p_boxes[order],
+                         "p_scores": p_scores[order]}
+                if self.iou_type == "segm":
+                    g_m = [m for m, s in zip(gt.get("masks", []), g_sel) if s]
+                    p_m = [m for m, s in zip(pred.get("masks", []), p_sel) if s]
+                    entry["g_masks"] = g_m
+                    entry["p_masks"] = [p_m[i] for i in order]
+                    entry["ious_full"] = self._iou(
+                        {"boxes": p_boxes[order], "masks": entry["p_masks"]},
+                        {"boxes": g_boxes, "masks": g_m})
+                else:
+                    entry["ious_full"] = box_iou_xyxy(p_boxes[order], g_boxes)
+                per_img.append(entry)
 
             for ai, (aname, (lo, hi)) in enumerate(AREA_RNGS.items()):
-                scores_all, tp_all = [], []
+                scores_all, tp_all, ig_all = [], [], []
                 n_gt = 0
-                for g, p, det_match in entries:
-                    g_area = g.get("areas")
-                    if g_area is None:
-                        g_area = ((g["boxes"][:, 2] - g["boxes"][:, 0]) *
-                                  (g["boxes"][:, 3] - g["boxes"][:, 1]))
-                    g_ignore = (g_area < lo) | (g_area > hi)
+                for e in per_img:
+                    g_ignore = ((e["g_areas"] < lo) | (e["g_areas"] > hi))
                     n_gt += int((~g_ignore).sum())
-                    if len(p["boxes"]) == 0:
+                    n_det = len(e["p_boxes"])
+                    if n_det == 0:
                         continue
-                    p_area = ((p["boxes"][:, 2] - p["boxes"][:, 0]) *
-                              (p["boxes"][:, 3] - p["boxes"][:, 1]))
-                    # det is ignored if matched to ignored gt, or unmatched
-                    # and outside the area range
-                    tp = np.zeros((len(IOU_THRS), len(p["boxes"])))
-                    ignore_det = np.zeros_like(tp, bool)
-                    for ti in range(len(IOU_THRS)):
-                        m = det_match[:, ti]
-                        matched = m >= 0
-                        tp[ti] = matched
-                        ig = np.where(matched, g_ignore[np.clip(m, 0, None)],
-                                      (p_area < lo) | (p_area > hi))
-                        ignore_det[ti] = ig
-                    scores_all.append(np.tile(p["scores"], (len(IOU_THRS), 1)))
-                    tp_all.append(np.where(ignore_det, np.nan, tp))
+                    # order gts ignored-last (protocol requirement)
+                    g_order = np.argsort(g_ignore, kind="mergesort")
+                    ious = e["ious_full"][:, g_order]
+                    gi = g_ignore[g_order].astype(np.uint8)
+                    p_area = ((e["p_boxes"][:, 2] - e["p_boxes"][:, 0]) *
+                              (e["p_boxes"][:, 3] - e["p_boxes"][:, 1]))
+                    d_ig_mask = ((p_area < lo) | (p_area > hi)).astype(np.uint8)
+                    det_match, det_ignore = coco_match(
+                        ious, gi, IOU_THRS, d_ig_mask)
+                    tp_all.append(det_match >= 0)
+                    ig_all.append(det_ignore.astype(bool))
+                    scores_all.append(np.tile(e["p_scores"], (T, 1)))
                 if n_gt == 0:
                     continue
                 if not scores_all:
                     recall[:, ki, ai] = 0
                     precision[:, :, ki, ai] = 0
                     continue
-                scores_cat = np.concatenate(scores_all, 1)   # (T, D)
+                scores_cat = np.concatenate(scores_all, 1)
                 tp_cat = np.concatenate(tp_all, 1)
-                for ti in range(len(IOU_THRS)):
+                ig_cat = np.concatenate(ig_all, 1)
+                for ti in range(T):
                     order = np.argsort(-scores_cat[ti], kind="mergesort")
                     tps = tp_cat[ti][order]
-                    keep = ~np.isnan(tps)
-                    tps = tps[keep]
+                    keep = ~ig_cat[ti][order]
+                    tps = tps[keep].astype(np.float64)
                     tp_cum = np.cumsum(tps)
                     fp_cum = np.cumsum(1 - tps)
                     rc = tp_cum / n_gt
                     pr = tp_cum / np.maximum(tp_cum + fp_cum, 1e-9)
-                    # monotone precision envelope
                     for i in range(len(pr) - 1, 0, -1):
                         pr[i - 1] = max(pr[i - 1], pr[i])
                     recall[ti, ki, ai] = rc[-1] if len(rc) else 0
@@ -184,7 +163,6 @@ def refcoco_metrics(pred_boxes: np.ndarray, gt_boxes: np.ndarray
                     ) -> Dict[str, float]:
     """REC metrics: Precision@0.5 and overall IoU over top-1 predictions.
 
-    pred_boxes/gt_boxes: (N, 4) xyxy, one pair per expression.
     Parity: _derive_refcoco_results (coco_evaluation.py:407)."""
     ious = np.array([box_iou_xyxy(pred_boxes[i:i + 1], gt_boxes[i:i + 1])[0, 0]
                      for i in range(len(gt_boxes))])

@@ -8,18 +8,23 @@ multi-level value map at `sampling_locations` (normalized to [0,1] per level,
 grid_sample align_corners=False / zero padding convention) and reduce with
 `attention_weights`.
 
-TPU-first design decisions:
-  * `spatial_shapes` is a STATIC python tuple of (H, W) ints. Image sizes are
-    bucketed by the data pipeline, so each bucket compiles once. This removes
-    every dynamic shape from the op and lets XLA constant-fold all level
-    arithmetic (level_start_index never exists at runtime).
-  * The gather is expressed as one `take_along_axis` per level over the
-    (B*M, H*W, D) value slab with the feature dim D innermost and contiguous
-    (D=32 floats = aligned VMEM rows), which XLA lowers to TPU's native
-    dynamic-gather. Bilinear corner weights are folded into a single fused
-    multiply-reduce with the attention weights.
-  * Autodiff: plain JAX AD through the gathers (scatter-add backward), same
-    numerics as the reference col2im backward.
+TPU-first design (profiled on v5e):
+  * TPU row-gathers are LATENCY-bound per row, not bandwidth-bound: 10.3M
+    32-float rows cost ~22 ms while the same bytes as 2.6M 128-float rows
+    cost ~5-8 ms. So the four bilinear corners are packed into ONE gathered
+    row: each level's value slab is zero-padded by 1 pixel and concatenated
+    with itself rolled by {1, W+2, W+3}, giving a (rows, 4*D) buffer where
+    one row fetch returns all four corners of a sample.
+  * The zero border makes corner handling branch-free: in-frame clipping plus
+    a single per-point in-range mask reproduce grid_sample's zero padding
+    exactly (border contributions land on zero rows).
+  * One global `jnp.take` over all (level, head, point) samples — a single
+    fused gather instead of 16 batched ones.
+  * `spatial_shapes` is a STATIC python tuple: sizes are bucketed by the data
+    pipeline, every level arithmetic constant-folds, no level_start_index
+    tensor exists at runtime.
+  * Autodiff: gather -> scatter-add transpose; pad/roll/concat transposes are
+    slices/rolls. Same numerics as the reference col2im backward.
 
 Layouts:
   value:              (B, S, M, D)    S = sum(H_l * W_l)
@@ -35,94 +40,132 @@ import jax
 import jax.numpy as jnp
 
 
-def _sample_level(value_l: jnp.ndarray, loc: jnp.ndarray, attn: jnp.ndarray,
-                  H: int, W: int) -> jnp.ndarray:
-    """Bilinear-sample one level and apply attention weights.
-
-    value_l: (B, M, H*W, D) one level's value slab
-    loc:     (B, Lq, M, P, 2) normalized sampling locations for this level
-    attn:    (B, Lq, M, P) attention weights for this level
-    returns: (B, Lq, M, D) weighted sample sum over P
-    """
-    B, Lq, M, P, _ = loc.shape
-    D = value_l.shape[-1]
-    compute_dtype = value_l.dtype
-
-    # grid_sample(align_corners=False) pixel-space coords: x = loc_x * W - 0.5
-    x = loc[..., 0] * W - 0.5
-    y = loc[..., 1] * H - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = (x - x0).astype(compute_dtype)
-    fy = (y - y0).astype(compute_dtype)
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-
-    # validity per corner (zero padding outside)
-    def corner(ix, iy):
-        valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
-        flat = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
-        return flat, valid.astype(compute_dtype)
-
-    i00, v00 = corner(x0i, y0i)
-    i01, v01 = corner(x0i + 1, y0i)
-    i10, v10 = corner(x0i, y0i + 1)
-    i11, v11 = corner(x0i + 1, y0i + 1)
-
-    # bilinear corner weights folded with attention weights -> one gather +
-    # one fused multiply-add chain, everything elementwise on the VPU
-    attn = attn.astype(compute_dtype)
-    w00 = (1 - fx) * (1 - fy) * v00 * attn
-    w01 = fx * (1 - fy) * v01 * attn
-    w10 = (1 - fx) * fy * v10 * attn
-    w11 = fx * fy * v11 * attn
-
-    # gather: indices (B, M, Lq*P) into slab (B, M, HW, D)
-    def gather(idx):
-        idx = jnp.transpose(idx, (0, 2, 1, 3)).reshape(B, M, Lq * P)
-        g = jnp.take_along_axis(value_l, idx[..., None], axis=2)
-        return g.reshape(B, M, Lq, P, D)
-
-    out = (gather(i00) * jnp.transpose(w00, (0, 2, 1, 3))[..., None]
-           + gather(i01) * jnp.transpose(w01, (0, 2, 1, 3))[..., None]
-           + gather(i10) * jnp.transpose(w10, (0, 2, 1, 3))[..., None]
-           + gather(i11) * jnp.transpose(w11, (0, 2, 1, 3))[..., None])
-    # (B, M, Lq, P, D) -> (B, Lq, M, D)
-    return jnp.transpose(out.sum(axis=3), (0, 2, 1, 3))
-
-
 def ms_deform_attn(value: jnp.ndarray,
                    spatial_shapes: Sequence[Tuple[int, int]],
                    sampling_locations: jnp.ndarray,
                    attention_weights: jnp.ndarray) -> jnp.ndarray:
-    """Fused multi-level bilinear gather + attention-weighted reduction.
-
-    Args:
-      value: (B, S, M, D) with S == sum(H*W over levels).
-      spatial_shapes: static tuple of (H, W) per level.
-      sampling_locations: (B, Lq, M, L, P, 2), normalized (x, y) in [0, 1].
-      attention_weights: (B, Lq, M, L, P).
-    Returns:
-      (B, Lq, M * D)
-    """
+    """Fused multi-level bilinear gather + attention-weighted reduction."""
     B, S, M, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
     assert L == len(spatial_shapes)
     assert S == sum(h * w for h, w in spatial_shapes), (
         f"value length {S} != sum of spatial shapes "
         f"{sum(h * w for h, w in spatial_shapes)}")
+    dtype = value.dtype
 
-    # (B, S, M, D) -> (B, M, S, D): put heads outside the gathered axis once
+    # ---- build the packed, padded value buffer --------------------------
+    value_t = jnp.transpose(value, (0, 2, 1, 3))        # (B, M, S, D)
+    packed_levels = []
+    level_rows = []
+    start = 0
+    for (H, W) in spatial_shapes:
+        slab = jax.lax.slice_in_dim(value_t, start, start + H * W, axis=2)
+        slab = slab.reshape(B, M, H, W, D)
+        slab = jnp.pad(slab, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+        R = (H + 2) * (W + 2)
+        flat = slab.reshape(B, M, R, D)
+        packed = jnp.concatenate([
+            flat,
+            jnp.roll(flat, -1, axis=2),
+            jnp.roll(flat, -(W + 2), axis=2),
+            jnp.roll(flat, -(W + 3), axis=2),
+        ], axis=-1)                                      # (B, M, R, 4D)
+        packed_levels.append(packed)
+        level_rows.append(R)
+        start += H * W
+    packed = jnp.concatenate(packed_levels, axis=2)      # (B, M, Rtot, 4D)
+    Rtot = sum(level_rows)
+    packed = packed.reshape(B * M * Rtot, 4 * D)
+
+    # ---- indices + folded weights per (level, point) --------------------
+    # everything in (B, M, Lq, P) order to avoid per-gather transposes
+    loc = jnp.transpose(sampling_locations, (0, 2, 1, 3, 4, 5))  # (B,M,Lq,L,P,2)
+    att = jnp.transpose(attention_weights, (0, 2, 1, 3, 4))      # (B,M,Lq,L,P)
+
+    idx_parts = []
+    w_parts = []
+    level_offset = 0
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        l = loc[:, :, :, lvl]                            # (B, M, Lq, P, 2)
+        a = att[:, :, :, lvl].astype(jnp.float32)
+        x = l[..., 0].astype(jnp.float32) * W - 0.5
+        y = l[..., 1].astype(jnp.float32) * H - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        # single in-range mask per point; border cases resolve via zero pad
+        in_range = ((x0 >= -1) & (x0 <= W - 1) & (y0 >= -1) & (y0 <= H - 1))
+        a = a * in_range
+        bx = jnp.clip(x0.astype(jnp.int32) + 1, 0, W)
+        by = jnp.clip(y0.astype(jnp.int32) + 1, 0, H)
+        base = by * (W + 2) + bx + level_offset          # (B, M, Lq, P)
+        idx_parts.append(base)
+        w_parts.append(jnp.stack([(1 - fx) * (1 - fy) * a,
+                                  fx * (1 - fy) * a,
+                                  (1 - fx) * fy * a,
+                                  fx * fy * a], axis=-1))  # (B,M,Lq,P,4)
+        level_offset += (H + 2) * (W + 2)
+
+    idx = jnp.stack(idx_parts, axis=3)                   # (B, M, Lq, L, P)
+    w = jnp.stack(w_parts, axis=3)                       # (B, M, Lq, L, P, 4)
+    bm = (jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0) * M
+          + jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1))
+    gidx = (bm * Rtot + idx).reshape(-1)
+
+    g = jnp.take(packed, gidx, axis=0)                   # (N, 4D)
+    # corner-fold first (tiny matvec per row), then sum over (L, P): this
+    # ordering profiles ~2x faster than one big einsum on v5e
+    g = g.reshape(-1, 4, D)
+    s = jnp.einsum("nc,ncd->nd", w.astype(dtype).reshape(-1, 4), g,
+                   preferred_element_type=jnp.float32)
+    out = s.reshape(B, M, Lq, L * P, D).sum(axis=3).astype(dtype)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
+
+
+def ms_deform_attn_unpacked(value: jnp.ndarray,
+                            spatial_shapes: Sequence[Tuple[int, int]],
+                            sampling_locations: jnp.ndarray,
+                            attention_weights: jnp.ndarray) -> jnp.ndarray:
+    """Simple per-corner-gather formulation (kept as a second implementation
+    for cross-checking the packed kernel in tests)."""
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
     value_t = jnp.transpose(value, (0, 2, 1, 3))
 
     out = jnp.zeros((B, Lq, M, D), dtype=value.dtype)
     start = 0
     for lvl, (H, W) in enumerate(spatial_shapes):
         value_l = jax.lax.slice_in_dim(value_t, start, start + H * W, axis=2)
-        out = out + _sample_level(
-            value_l,
-            sampling_locations[:, :, :, lvl],
-            attention_weights[:, :, :, lvl],
-            H, W)
+        loc = sampling_locations[:, :, :, lvl]
+        attn = attention_weights[:, :, :, lvl]
+        x = loc[..., 0] * W - 0.5
+        y = loc[..., 1] * H - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0).astype(value.dtype)
+        fy = (y - y0).astype(value.dtype)
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        def corner(ix, iy):
+            valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+            flat = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+            return flat, valid.astype(value.dtype)
+
+        acc = 0
+        a = attn.astype(value.dtype)
+        for (ix, iy, wgt) in (
+                (x0i, y0i, lambda: (1 - fx) * (1 - fy)),
+                (x0i + 1, y0i, lambda: fx * (1 - fy)),
+                (x0i, y0i + 1, lambda: (1 - fx) * fy),
+                (x0i + 1, y0i + 1, lambda: fx * fy)):
+            flat, valid = corner(ix, iy)
+            flat_t = jnp.transpose(flat, (0, 2, 1, 3)).reshape(B, M, Lq * P)
+            g = jnp.take_along_axis(value_l, flat_t[..., None], axis=2)
+            g = g.reshape(B, M, Lq, P, D)
+            wcomb = jnp.transpose(wgt() * valid * a, (0, 2, 1, 3))
+            acc = acc + (g * wcomb[..., None]).sum(axis=3)
+        out = out + jnp.transpose(acc, (0, 2, 1, 3))
         start += H * W
     return out.reshape(B, Lq, M * D)
