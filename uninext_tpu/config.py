@@ -117,6 +117,13 @@ class LossConfig:
     set_cost_class: float = 2.0
     set_cost_box: float = 5.0
     set_cost_giou: float = 2.0
+    # BoxInst (MODEL.BOXINST.*) — box-supervised segmentation for BDD MOTS
+    boxinst: bool = False
+    boxinst_pairwise_size: int = 3
+    boxinst_pairwise_dilation: int = 2
+    boxinst_pairwise_color_thresh: float = 0.3
+    boxinst_warmup_iters: int = 10000
+    boxinst_bottom_pixels_removed: int = 10
 
 
 @dataclasses.dataclass(frozen=True)
@@ -221,6 +228,23 @@ def image_joint_r50() -> UninextConfig:
 def video_joint_r50() -> UninextConfig:
     """Stage-3: adds reid head + 2-frame clips (reference configs/video_joint_r50.yaml)."""
     return dataclasses.replace(image_joint_r50(), use_reid=True)
+
+
+def image_joint_convnext_large() -> UninextConfig:
+    """ConvNeXt-Large flagship variant (reference configs/*convnext*)."""
+    return dataclasses.replace(
+        image_joint_r50(),
+        backbone=BackboneConfig(name="convnext_large",
+                                out_channels=(384, 768, 1536),
+                                drop_path_rate=0.7))
+
+
+def video_joint_vit_huge() -> UninextConfig:
+    """ViT-Huge stage-3 variant (reference configs/video_joint_vit_huge)."""
+    return dataclasses.replace(
+        video_joint_r50(),
+        backbone=BackboneConfig(name="vit_huge",
+                                out_channels=(640, 1280, 1280)))
 
 
 def tiny_test_config() -> UninextConfig:

@@ -1,0 +1,93 @@
+"""MOT / MOTS / R-VOS streaming drivers.
+
+Parity anchors (reference uninext_vid.py):
+  * inference_mot  — :1199-1292 (QDTrack association over per-frame
+    detections; TRACK.INIT_SCORE_THR / OBJ_SCORE_THR gates; MOTS adds masks)
+  * inference_rvos — :1293-1358 (per-frame grounding with the expression
+    prompt; top-1 mask per frame)
+  * inference_rvos_offline — :551 (Ref-DAVIS per-object soft aggregation)
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import UninextConfig
+from ..models.detr import UninextDETR, feature_shapes
+from ..models.trackers import QuasiDenseTracker
+from .video_inference import make_vis_frame_step, _mask_to_original
+from .sot_inference import make_sot_frame_step
+
+
+class MOTDriver:
+    """BDD100K-style multi-object tracking (boxes; masks when with_masks)."""
+
+    def __init__(self, model, params, cfg: UninextConfig, cls_token_map,
+                 H: int, W: int, with_masks: bool = False):
+        self.cfg = cfg
+        self.params = params
+        self.with_masks = with_masks
+        self.step = make_vis_frame_step(
+            model, cfg, cls_token_map, H, W,
+            select_thr=cfg.track.obj_score_thr, nms_thr=0.7)
+
+    def run_video(self, frames, img_masks, sizes, text_ids, text_mask,
+                  ori_size) -> List[List[Dict]]:
+        tr = self.cfg.track
+        tracker = QuasiDenseTracker(
+            init_score_thr=tr.init_score_thr,
+            obj_score_thr=tr.obj_score_thr)
+        image_size = (int(sizes[0, 0]), int(sizes[0, 1]))
+        sx = ori_size[1] / image_size[1]
+        sy = ori_size[0] / image_size[0]
+        per_frame: List[List[Dict]] = []
+        for fi in range(len(frames)):
+            o = self.step(self.params, frames[fi], img_masks, sizes,
+                          text_ids, text_mask)
+            o = {k: np.asarray(v) for k, v in o.items()}
+            v = o["valid"]
+            keep_idx, ids = tracker.match(
+                o["boxes"][v], o["max_scores"][v], o["labels"][v],
+                o["embeds"][v], fi)
+            sel = np.flatnonzero(v)[keep_idx]
+            dets = []
+            for si, tid in zip(sel, ids):
+                if tid < 0:
+                    continue
+                box = o["boxes"][si] * [sx, sy, sx, sy]
+                rec = {"id": int(tid), "category": int(o["labels"][si]),
+                       "score": float(o["max_scores"][si]),
+                       "box_xyxy": box}
+                if self.with_masks:
+                    rec["mask"] = _mask_to_original(
+                        o["mask_logits"][si], image_size, ori_size)
+                dets.append(rec)
+            per_frame.append(dets)
+        return per_frame
+
+
+class RVOSDriver:
+    """Referring VOS: expression prompt, top-1 mask per frame (online)."""
+
+    def __init__(self, model, params, cfg: UninextConfig, H: int, W: int):
+        self.cfg = cfg
+        self.params = params
+        self.model = model
+        self.step = make_sot_frame_step(model, cfg, H, W, with_mask=True)
+
+    def run_video(self, frames, img_masks, sizes, lang_hidden, lang_mask,
+                  ori_size) -> List[np.ndarray]:
+        """lang_hidden/lang_mask: precomputed BERT features of the referring
+        expression (task='grounding' pooled path). Returns per-frame masks."""
+        image_size = (int(sizes[0, 0]), int(sizes[0, 1]))
+        out = []
+        for fi in range(len(frames)):
+            r = self.step(self.params, frames[fi], img_masks, sizes,
+                          lang_hidden, lang_mask)
+            m = _mask_to_original(np.asarray(r["mask_logits"][0]),
+                                  image_size, ori_size)
+            out.append(m)
+        return out

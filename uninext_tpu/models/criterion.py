@@ -112,6 +112,72 @@ def loss_masks(pred_masks: jnp.ndarray, target_masks: jnp.ndarray,
             "loss_dice": dice.sum() / num_boxes}
 
 
+def unfold_wo_center(x: jnp.ndarray, kernel_size: int = 3,
+                     dilation: int = 2) -> jnp.ndarray:
+    """x: (..., H, W) -> (..., K, H, W) with K = k*k-1 neighbors (zero pad).
+
+    Parity: reference unfold_wo_center (deformable_detr.py:787-810)."""
+    k, d = kernel_size, dilation
+    pad = (k + (d - 1) * (k - 1)) // 2
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(pad, pad), (pad, pad)])
+    H, W = x.shape[-2:]
+    shifts = []
+    for dy in range(k):
+        for dx in range(k):
+            if dy == k // 2 and dx == k // 2:
+                continue
+            oy, ox = dy * d, dx * d
+            shifts.append(xp[..., oy:oy + H, ox:ox + W])
+    return jnp.stack(shifts, axis=-3)
+
+
+def loss_masks_boxinst(mask_logits: jnp.ndarray, box_bitmasks: jnp.ndarray,
+                       color_similarity: jnp.ndarray, sel_valid: jnp.ndarray,
+                       warmup_factor: jnp.ndarray,
+                       pairwise_color_thresh: float = 0.3,
+                       pairwise_size: int = 3, pairwise_dilation: int = 2
+                       ) -> Dict[str, jnp.ndarray]:
+    """Box-supervised mask losses (BoxInst).
+
+    mask_logits: (B, N, H, W) selected-instance logits;
+    box_bitmasks: (B, N, H, W) gt box rasterizations (the only supervision);
+    color_similarity: (B, 8, H, W) per-image neighbor color similarity;
+    sel_valid: (B, N). Parity: loss_masks_boxinst (deformable_detr.py:457-527)
+    with compute_project_term :812 and compute_pairwise_term :824."""
+    v = sel_valid.astype(jnp.float32)[..., None, None]
+    scores = jax.nn.sigmoid(mask_logits.astype(jnp.float32)) * v
+    bitmasks = box_bitmasks.astype(jnp.float32) * v
+
+    def dice(x, y):
+        x = x.reshape(*x.shape[:2], -1)
+        y = y.reshape(*y.shape[:2], -1)
+        inter = (x * y).sum(-1)
+        union = (x ** 2).sum(-1) + (y ** 2).sum(-1) + 1e-5
+        return 1.0 - 2 * inter / union
+
+    proj_x = dice(scores.max(axis=2, keepdims=True),
+                  bitmasks.max(axis=2, keepdims=True))
+    proj_y = dice(scores.max(axis=3, keepdims=True),
+                  bitmasks.max(axis=3, keepdims=True))
+    n = jnp.maximum(sel_valid.sum(), 1.0)
+    loss_prj = (((proj_x + proj_y) * sel_valid).sum()) / n
+
+    log_fg = jax.nn.log_sigmoid(mask_logits.astype(jnp.float32))
+    log_bg = jax.nn.log_sigmoid(-mask_logits.astype(jnp.float32))
+    fg_un = unfold_wo_center(log_fg, pairwise_size, pairwise_dilation)
+    bg_un = unfold_wo_center(log_bg, pairwise_size, pairwise_dilation)
+    same_fg = log_fg[:, :, None] + fg_un
+    same_bg = log_bg[:, :, None] + bg_un
+    mx = jnp.maximum(same_fg, same_bg)
+    log_same = jnp.log(jnp.exp(same_fg - mx) + jnp.exp(same_bg - mx)) + mx
+    pairwise = -log_same                                   # (B, N, 8, H, W)
+    weights = ((color_similarity[:, None] >= pairwise_color_thresh)
+               .astype(jnp.float32) * bitmasks[:, :, None])
+    loss_pairwise = ((pairwise * weights).sum()
+                     / jnp.clip(weights.sum(), 1.0)) * warmup_factor
+    return {"loss_prj": loss_prj, "loss_pairwise": loss_pairwise}
+
+
 def loss_reid_static(contrast: jnp.ndarray, labels3: jnp.ndarray,
                      row_valid: jnp.ndarray, cos_sim: jnp.ndarray
                      ) -> Dict[str, jnp.ndarray]:

@@ -155,6 +155,25 @@ class UninextDETR(nn.Module):
         if c.backbone.name == "resnet50":
             self.backbone = ResNet(depth=50, in_channels=c.backbone.in_channels,
                                    dtype=dtype, name="backbone")
+        elif c.backbone.name == "convnext_large":
+            from .convnext import ConvNeXt
+            self.backbone = ConvNeXt(
+                depths=c.backbone.convnext_depths,
+                dims=c.backbone.convnext_dims,
+                drop_path_rate=c.backbone.drop_path_rate,
+                in_channels=c.backbone.in_channels,
+                dtype=dtype, name="backbone")
+        elif c.backbone.name == "vit_huge":
+            from .vit import ViT
+            self.backbone = ViT(
+                patch_size=c.backbone.vit_patch_size,
+                embed_dim=c.backbone.vit_embed_dim,
+                depth=c.backbone.vit_depth,
+                num_heads=c.backbone.vit_num_heads,
+                window_size=c.backbone.vit_window_size,
+                global_blocks=c.backbone.vit_global_blocks,
+                in_channels=c.backbone.in_channels,
+                dtype=dtype, name="backbone")
         else:
             raise NotImplementedError(c.backbone.name)
 
@@ -460,13 +479,30 @@ class UninextDETR(nn.Module):
                     mask_feats.astype(jnp.float32), centers, params,
                     c.mask_head)
                 tgt_g = jnp.take_along_axis(q2g, sel_q, axis=1)         # (B,N)
-                tgt_masks = crit.gather_by_match(
-                    targets["masks"].astype(jnp.float32), tgt_g)
-                m_losses = crit.loss_masks(mask_logits, tgt_masks, sel_valid,
-                                           n_matched if lcfg.ota else num_boxes_global,
-                                           lcfg)
-                losses[f"loss_mask{suffix(lvl)}"] = m_losses["loss_mask"]
-                losses[f"loss_dice{suffix(lvl)}"] = m_losses["loss_dice"]
+                if lcfg.boxinst:
+                    # box-supervised: projection + pairwise color losses
+                    bitmasks = crit.gather_by_match(
+                        targets["box_bitmasks"].astype(jnp.float32), tgt_g)
+                    warmup = jnp.clip(
+                        targets.get("step", jnp.int32(0)).astype(jnp.float32)
+                        / lcfg.boxinst_warmup_iters, 0.0, 1.0)
+                    m_losses = crit.loss_masks_boxinst(
+                        mask_logits, bitmasks, targets["color_similarity"],
+                        sel_valid, warmup,
+                        lcfg.boxinst_pairwise_color_thresh,
+                        lcfg.boxinst_pairwise_size,
+                        lcfg.boxinst_pairwise_dilation)
+                    losses[f"loss_prj{suffix(lvl)}"] = m_losses["loss_prj"]
+                    losses[f"loss_pairwise{suffix(lvl)}"] = \
+                        m_losses["loss_pairwise"]
+                else:
+                    tgt_masks = crit.gather_by_match(
+                        targets["masks"].astype(jnp.float32), tgt_g)
+                    m_losses = crit.loss_masks(
+                        mask_logits, tgt_masks, sel_valid,
+                        n_matched if lcfg.ota else num_boxes_global, lcfg)
+                    losses[f"loss_mask{suffix(lvl)}"] = m_losses["loss_mask"]
+                    losses[f"loss_dice{suffix(lvl)}"] = m_losses["loss_dice"]
 
         # ---- encoder (binary) losses: Hungarian on all positions ----
         enc_logits = outputs["enc_class"]                       # (B, S, 1)
