@@ -1,0 +1,41 @@
+"""Video (key, ref) training path: reid contrastive loss end-to-end."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uninext_tpu.models.detr import UninextDETR
+from test_model import small_cfg, make_batch, B, H, W, T, G
+
+
+def test_video_train_losses():
+    cfg = dataclasses.replace(small_cfg(), use_reid=True)
+    model = UninextDETR(cfg)
+    images, img_mask, sizes, tids, tmask, targets_key = make_batch(0)
+    images_ref = make_batch(1)[0]
+    targets_ref = dict(targets_key)  # same objects, slot-aligned
+    # object 0 disappears in the ref frame
+    valid_ref = np.asarray(targets_ref["valid"]).copy()
+    valid_ref[0, 0] = False
+    targets_ref = {**targets_ref, "valid": jnp.array(valid_ref)}
+
+    @jax.jit
+    def run(rng):
+        params = model.init(
+            {"params": rng, "dn": jax.random.PRNGKey(1)},
+            images, img_mask, sizes, tids, tmask,
+            targets_key, targets_ref, images_ref,
+            method=UninextDETR.forward_video_train)
+        losses = model.apply(
+            params, images, img_mask, sizes, tids, tmask,
+            targets_key, targets_ref, images_ref,
+            method=UninextDETR.forward_video_train)
+        return losses
+
+    losses = run(jax.random.PRNGKey(0))
+    assert "loss_reid" in losses and "loss_reid_aux" in losses
+    assert "loss_ce" in losses and "loss_mask" in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))

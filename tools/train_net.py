@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Parity: reference launch.py + projects/UNINEXT/train_net.py. The reference's
+multi-process NCCL launcher collapses to one SPMD process per host:
+  single host : python tools/train_net.py --config image_joint_r50 ...
+  multi host  : same command on every host with --coordinator set
+                (jax.distributed.initialize handles rendezvous).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="image_joint_r50",
+                   help="config preset name in uninext_tpu.config")
+    p.add_argument("--task", default="detection",
+                   choices=["detection", "grounding"])
+    p.add_argument("--output-dir", default="./output")
+    p.add_argument("--coco-json", default=None)
+    p.add_argument("--image-root", default=None)
+    p.add_argument("--refcoco-json", default=None)
+    p.add_argument("--init-weights", default=None,
+                   help=".pth reference checkpoint to convert and load")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port for multi-host jax.distributed")
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("opts", nargs="*",
+                   help="dotted config overrides, e.g. solver.base_lr=1e-4")
+    return p.parse_args()
+
+
+def apply_overrides(cfg, opts):
+    import dataclasses
+    for opt in opts:
+        key, val = opt.split("=", 1)
+        parts = key.split(".")
+        node_path = []
+        node = cfg
+        for part in parts[:-1]:
+            node = getattr(node, part)
+            node_path.append(part)
+        field = parts[-1]
+        old = getattr(node, field)
+        typ = type(old)
+        new_val = typ(val) if typ is not bool else val.lower() in ("1", "true")
+        new_node = dataclasses.replace(node, **{field: new_val})
+        for part in reversed(node_path):
+            parent = cfg
+            for pp in node_path[:-1]:
+                parent = getattr(parent, pp)
+            new_node = dataclasses.replace(parent, **{part: new_node})
+        cfg = new_node if node_path else dataclasses.replace(
+            cfg, **{field: new_val})
+    return cfg
+
+
+def main():
+    args = parse_args()
+    if args.coordinator:
+        import jax
+        jax.distributed.initialize(args.coordinator, args.num_processes,
+                                   args.process_id)
+    from uninext_tpu import config as config_mod
+    from uninext_tpu.data.coco import (UniDatasetMapper, load_coco_json,
+                                       load_refcoco_json)
+    from uninext_tpu.data.loader import MultiDatasetLoader, prefetch
+    from uninext_tpu.engine.trainer import Trainer
+
+    cfg = getattr(config_mod, args.config)()
+    cfg = apply_overrides(cfg, args.opts)
+
+    datasets = []
+    categories = ["object"]
+    if args.coco_json:
+        records, categories = load_coco_json(args.coco_json, args.image_root)
+        mapper = UniDatasetMapper(cfg.data, categories, is_train=True)
+        datasets.append((records, mapper, 2))
+    if args.refcoco_json:
+        records = load_refcoco_json(args.refcoco_json, args.image_root)
+        mapper = UniDatasetMapper(cfg.data, categories, is_train=True)
+        datasets.append((records, mapper, 2))
+    if not datasets:
+        raise SystemExit("no datasets given (--coco-json/--refcoco-json)")
+
+    import jax
+    loader = prefetch(iter(MultiDatasetLoader(
+        datasets, ratios=[1.0] * len(datasets),
+        process_index=jax.process_index(),
+        process_count=jax.process_count())))
+    trainer = Trainer(cfg, loader, output_dir=args.output_dir,
+                      task=args.task)
+    trainer.resume_or_load(args.init_weights if not args.resume else None)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -77,6 +77,23 @@ def _first_token(c2t: np.ndarray, pos: int, step: int, tries: int = 3) -> int:
     return -1
 
 
+def build_parallel_det_mask(cls_token_map: np.ndarray) -> np.ndarray:
+    """Block-diagonal (T, T) attention mask for PARALLEL_DET.
+
+    Parity: reference bert_model.py:32-74 — each class name's tokens attend
+    only within themselves so independent class prompts don't interact;
+    non-class tokens ([CLS]/[SEP]/separators) attend everywhere.
+    cls_token_map: (C, T) bool. Returns (T, T) with 1 = may attend."""
+    C, T = cls_token_map.shape
+    is_class_tok = cls_token_map.any(0)
+    same_class = np.zeros((T, T), bool)
+    for c in range(C):
+        idx = np.flatnonzero(cls_token_map[c])
+        same_class[np.ix_(idx, idx)] = True
+    allow = same_class | ~is_class_tok[None, :] | ~is_class_tok[:, None]
+    return allow.astype(np.int32)
+
+
 def create_label_token_map(categories: Sequence[str],
                            tokenizer: BertTokenizer,
                            max_len: int = 256

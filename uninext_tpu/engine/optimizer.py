@@ -39,13 +39,18 @@ def classify_param(path: Tuple[str, ...]) -> str:
     return "base"
 
 
-def lr_schedule(cfg: SolverConfig):
+def lr_schedule(cfg: SolverConfig, kind: str = "multistep"):
+    """WarmupMultiStepLR / WarmupCosineLR
+    (detectron2/solver/lr_scheduler.py:132,171)."""
     def fn(step):
         warm = jnp.minimum(step / jnp.maximum(cfg.warmup_iters, 1), 1.0)
         warm = cfg.warmup_factor * (1 - warm) + warm  # linear to 1.0
-        decay = jnp.ones(())
-        for s in cfg.steps:
-            decay = decay * jnp.where(step >= s, cfg.gamma, 1.0)
+        if kind == "cosine":
+            decay = 0.5 * (1 + jnp.cos(jnp.pi * step / cfg.max_iter))
+        else:
+            decay = jnp.ones(())
+            for s in cfg.steps:
+                decay = decay * jnp.where(step >= s, cfg.gamma, 1.0)
         return warm * decay
     return fn
 

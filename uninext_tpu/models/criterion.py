@@ -194,7 +194,8 @@ def loss_reid_static(contrast: jnp.ndarray, labels3: jnp.ndarray,
     """
     pos = labels3 == 1
     neg = labels3 == 0
-    rv = row_valid[:, None]
+    row_valid = row_valid.astype(jnp.float32)
+    rv = row_valid[:, None] > 0
     R, Q = contrast.shape
     pred_pos = jnp.where(pos & rv, contrast, jnp.inf)
     pred_neg = jnp.where(neg & rv, contrast, -jnp.inf)
