@@ -145,17 +145,150 @@ def convert_bert(sd: Dict, tree: Dict, report: Dict,
         i += 1
 
 
+def _ln(sd, prefix, tree, path, report):
+    w = sd.get(prefix + ".weight")
+    b = sd.get(prefix + ".bias")
+    if w is not None:
+        _set(tree, path + ["scale"], _t(w), report)
+    if b is not None:
+        _set(tree, path + ["bias"], _t(b), report)
+
+
+def _mha(sd, prefix, tree, path, report):
+    """torch nn.MultiheadAttention -> our MultiHeadAttention q/k/v/out."""
+    w = sd.get(prefix + ".in_proj_weight")
+    b = sd.get(prefix + ".in_proj_bias")
+    if w is not None:
+        wq, wk, wv = np.split(_t(w), 3, axis=0)
+        for name, ww in (("q_proj", wq), ("k_proj", wk), ("v_proj", wv)):
+            _set(tree, path + [name, "kernel"], ww.T, report)
+    if b is not None:
+        bq, bk, bv = np.split(_t(b), 3)
+        for name, bb in (("q_proj", bq), ("k_proj", bk), ("v_proj", bv)):
+            _set(tree, path + [name, "bias"], bb, report)
+    _dense(sd, prefix + ".out_proj", tree, path + ["out_proj"], report)
+
+
+def _msda(sd, prefix, tree, path, report):
+    for name in ("sampling_offsets", "attention_weights", "value_proj",
+                 "output_proj"):
+        _dense(sd, f"{prefix}.{name}", tree, path + [name], report)
+
+
+def _mlp(sd, prefix, tree, path, report, n_layers=3):
+    for j in range(n_layers):
+        _dense(sd, f"{prefix}.layers.{j}", tree, path + [f"layer_{j}"], report)
+
+
+def convert_transformer(sd: Dict, tree: Dict, report: Dict,
+                        src: str = "detr.detr."):
+    tp = src + "transformer."
+    dst = "transformer"
+    lvl = sd.get(tp + "level_embed")
+    if lvl is not None:
+        _set(tree, [dst, "level_embed"], _t(lvl), report)
+    w = sd.get(tp + "tgt_embed.weight")
+    if w is not None:
+        _set(tree, [dst, "tgt_embed", "embedding"], _t(w), report)
+    _dense(sd, tp + "enc_output", tree, [dst, "enc_output"], report)
+    _ln(sd, tp + "enc_output_norm", tree, [dst, "enc_output_norm"], report)
+    _dense(sd, tp + "resizer.fc", tree, [dst, "resizer", "fc"], report)
+    _ln(sd, tp + "resizer.layer_norm", tree, [dst, "resizer", "ln"], report)
+    _mlp(sd, tp + "decoder.ref_point_head", tree,
+         [dst, "ref_point_head"], report, 2)
+
+    i = 0
+    while f"{tp}encoder.layers.{i}.norm1.weight" in sd:
+        lp = f"{tp}encoder.layers.{i}"
+        d = [dst, f"encoder_layer_{i}"]
+        _msda(sd, lp + ".self_attn", tree, d + ["self_attn"], report)
+        _ln(sd, lp + ".norm1", tree, d + ["norm1"], report)
+        _ln(sd, lp + ".norm2", tree, d + ["norm2"], report)
+        _dense(sd, lp + ".linear1", tree, d + ["linear1"], report)
+        _dense(sd, lp + ".linear2", tree, d + ["linear2"], report)
+        i += 1
+    i = 0
+    while f"{tp}encoder.vl_layers.{i}.b_attn.gamma_v" in sd:
+        lp = f"{tp}encoder.vl_layers.{i}.b_attn"
+        d = [dst, f"vl_layer_{i}"]
+        for g in ("gamma_v", "gamma_l"):
+            v = sd.get(f"{lp}.{g}")
+            if v is not None:
+                _set(tree, d + [g], _t(v), report)
+        _ln(sd, lp + ".layer_norm_v", tree, d + ["layer_norm_v"], report)
+        _ln(sd, lp + ".layer_norm_l", tree, d + ["layer_norm_l"], report)
+        for name in ("v_proj", "l_proj", "values_v_proj", "values_l_proj",
+                     "out_v_proj", "out_l_proj"):
+            _dense(sd, f"{lp}.attn.{name}", tree, d + ["attn", name], report)
+        i += 1
+    i = 0
+    while f"{tp}decoder.layers.{i}.norm1.weight" in sd:
+        lp = f"{tp}decoder.layers.{i}"
+        d = [dst, f"decoder_layer_{i}"]
+        _msda(sd, lp + ".cross_attn", tree, d + ["cross_attn"], report)
+        _mha(sd, lp + ".self_attn", tree, d + ["self_attn"], report)
+        for nm in ("norm1", "norm2", "norm3"):
+            _ln(sd, f"{lp}.{nm}", tree, d + [nm], report)
+        _dense(sd, lp + ".linear1", tree, d + ["linear1"], report)
+        _dense(sd, lp + ".linear2", tree, d + ["linear2"], report)
+        i += 1
+
+
+def convert_heads(sd: Dict, tree: Dict, report: Dict, src: str = "detr.detr.",
+                  dec_layers: int = 6):
+    for i in range(dec_layers):
+        cp = f"{src}class_embed.{i}"
+        d = [f"class_embed_{i}"]
+        _dense(sd, cp + ".dot_product_projection_text", tree,
+               d + ["dot_product_projection_text"], report)
+        for nm in ("log_scale", "bias_lang", "bias0"):
+            v = sd.get(f"{cp}.{nm}")
+            if v is not None:
+                _set(tree, d + [nm], _t(v).reshape(-1), report)
+        _mlp(sd, f"{src}bbox_embed.{i}", tree, [f"bbox_embed_{i}"], report)
+        _dense(sd, f"{src}iou_head.{i}", tree, [f"iou_head_{i}"], report)
+    # encoder heads: bbox_embed[dec_layers], class_embed[dec_layers] (Still)
+    _mlp(sd, f"{src}bbox_embed.{dec_layers}", tree,
+         [f"bbox_embed_{dec_layers}"], report)
+    _dense(sd, f"{src}class_embed.{dec_layers}.body", tree,
+           ["enc_class_embed", "body"], report)
+    # input projections: .0 conv, .1 group norm
+    i = 0
+    while f"{src}input_proj.{i}.0.weight" in sd:
+        _conv(sd, f"{src}input_proj.{i}.0", tree, [f"input_proj_{i}"], report)
+        _ln(sd, f"{src}input_proj.{i}.1", tree, [f"input_gn_{i}"], report)
+        i += 1
+
+
+def convert_mask_head(sd: Dict, tree: Dict, report: Dict,
+                      src: str = "detr."):
+    _mlp(sd, src + "controller", tree, ["controller"], report)
+    for nm in ("lay1", "lay2", "lay3", "lay4", "jia_dcn"):
+        _conv(sd, f"{src}mask_head.{nm}", tree, ["mask_head", nm], report)
+    # DN dynamic label encoder (DDETRSegmUniDN.resizer)
+    _dense(sd, src + "resizer.fc", tree, ["dn_resizer", "fc"], report)
+    _ln(sd, src + "resizer.layer_norm", tree, ["dn_resizer", "ln"], report)
+    # video reid head (DDETRSegmUniVID.reid_embed_head)
+    _mlp(sd, src + "reid_embed_head", tree, ["reid_embed"], report)
+    _dense(sd, src + "adjust_layer", tree, ["adjust_layer"], report)
+
+
 def convert_checkpoint(state_dict: Dict, params: Dict) -> Tuple[Dict, Dict]:
     """Map a reference UNINEXT state_dict onto our param tree (best effort).
 
-    Returns (new_params, report). Currently covers backbone + BERT; the
-    transformer/heads mapping grows with parity debugging needs."""
+    Returns (new_params, report). Covers backbone, BERT, transformer
+    (encoder/VL/decoder), heads, CondInst controller+mask head, dn resizer,
+    reid head. Unresolved keys are reported, never dropped silently."""
     import copy
-    tree = copy.deepcopy(jax_tree_to_numpy(params))
+    full = copy.deepcopy(jax_tree_to_numpy(params))
+    tree = full.get("params", full) if isinstance(full, dict) else full
     report = {"loaded": 0, "missing_target": [], "shape_mismatch": []}
     convert_resnet(state_dict, tree, report)
     convert_bert(state_dict, tree, report)
-    return tree, report
+    convert_transformer(state_dict, tree, report)
+    convert_heads(state_dict, tree, report)
+    convert_mask_head(state_dict, tree, report)
+    return full, report
 
 
 def jax_tree_to_numpy(params):

@@ -27,7 +27,12 @@ class Trainer:
                  has_masks: bool = True, use_mesh: bool = True,
                  eval_fn: Optional[Callable] = None,
                  eval_period: int = 5000,
-                 log_period: int = 20):
+                 log_period: int = 20,
+                 profile_iters: Optional[tuple] = None):
+        # profile_iters=(start, stop): dump a jax.profiler trace for those
+        # iterations (parity: TorchProfiler hook, engine/hooks.py:376)
+        self.profile_iters = profile_iters
+        self.profile_dir = f"{output_dir}/profile"
         self.cfg = cfg
         self.loader = loader
         self.task = task
@@ -62,6 +67,10 @@ class Trainer:
         data_iter = iter(self.loader)
         for it in range(start, cfg.max_iter):
             self.storage.iter = it
+            if self.profile_iters and it == self.profile_iters[0]:
+                jax.profiler.start_trace(self.profile_dir)
+            if self.profile_iters and it == self.profile_iters[1]:
+                jax.profiler.stop_trace()
             t0 = time.perf_counter()
             rng, step_rng = jax.random.split(rng)
             self.state, metrics = self._step(self.state, _to_jnp(batch),
