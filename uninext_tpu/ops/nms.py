@@ -1,9 +1,18 @@
-"""Fixed-size class-aware greedy NMS, jit-safe.
+"""Fixed-size class-aware greedy NMS, jit-safe and TPU-fast.
 
 Parity: torchvision ops.batched_nms as used at inference (uninext_img.py:413,
 uninext_vid.py:1137,1241,1404). Greedy order is score-descending; class-aware
-via an offset-free same-class mask (identical result to torchvision's
-coordinate-offset trick).
+via a same-class mask (identical result to torchvision's coordinate-offset
+trick).
+
+TPU design: greedy NMS is a triangular fixpoint
+    keep[i] = NOT any_{j<i} (keep[j] AND iou[i,j] > thr AND cls[i] == cls[j])
+A sequential fori_loop over 900 boxes costs ~1 ms/iteration on TPU (measured
+~800 ms/frame); instead we Jacobi-iterate the whole keep vector with one
+(N, N) masked matvec per step. Rows whose suppression chain has depth <= k
+are exact after k iterations, so iterating to convergence (lax.while_loop,
+bounded by N) yields exactly the greedy result — real chains are < 10 deep,
+so this converges in a handful of cheap vectorized steps.
 """
 from __future__ import annotations
 
@@ -29,13 +38,20 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, classes: jnp.ndarray,
     v = valid[order]
     iou, _ = box_ops.box_iou(b, b)
     same_cls = c[:, None] == c[None, :]
-    suppress_pair = (iou > iou_threshold) & same_cls          # (N, N)
+    tri = jnp.tril(jnp.ones((N, N), bool), k=-1)       # j < i (score order)
+    suppress = ((iou > iou_threshold) & same_cls & tri
+                & v[None, :] & v[:, None]).astype(jnp.float32)
 
-    def body(i, keep):
-        # i-th highest score: kept iff not suppressed by any kept j < i
-        sup = (suppress_pair[i] & keep & (jnp.arange(N) < i)).any()
-        return keep.at[i].set(~sup & v[i])
+    def cond(state):
+        keep, prev, it = state
+        return (it < N) & jnp.any(keep != prev)
 
-    keep_sorted = jax.lax.fori_loop(0, N, body, jnp.zeros((N,), bool))
-    keep = jnp.zeros((N,), bool).at[order].set(keep_sorted)
-    return keep
+    def body(state):
+        keep, _, it = state
+        killed = (suppress @ keep.astype(jnp.float32)) > 0
+        return (~killed & v, keep, it + 1)
+
+    init_keep = v
+    keep_sorted, _, _ = jax.lax.while_loop(
+        cond, body, (init_keep, jnp.zeros((N,), bool), jnp.int32(0)))
+    return jnp.zeros((N,), bool).at[order].set(keep_sorted)
