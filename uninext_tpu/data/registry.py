@@ -1,0 +1,160 @@
+"""Dataset registry: named splits -> loader + paths.
+
+Parity: reference data/datasets/builtin.py:13-343 (~40 registered splits
+across COCO, RefCOCO/+/g, Objects365, YTVIS 2019/2021, OVIS, Ref-YTBVOS,
+BDD100K det/inst/box_track/seg_track, SOT suites, SegInW). Paths resolve
+under $UNINEXT_DATA (default ./datasets) with the reference's layout.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Callable, Dict, List, Tuple
+
+_REGISTRY: Dict[str, Tuple[Callable, str]] = {}
+
+
+def data_root() -> str:
+    return os.environ.get("UNINEXT_DATA", "datasets")
+
+
+def register(name: str, loader: Callable, task: str):
+    _REGISTRY[name] = (loader, task)
+
+
+def get_dataset(name: str):
+    """Returns (records, categories_or_None, task)."""
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown dataset {name}; known: {sorted(_REGISTRY)}")
+    loader, task = _REGISTRY[name]
+    out = loader(data_root())
+    if isinstance(out, tuple):
+        records, cats = out
+    else:
+        records, cats = out, None
+    return records, cats, task
+
+
+def list_datasets() -> List[str]:
+    return sorted(_REGISTRY)
+
+
+def _coco(root, json_rel, img_rel):
+    from .coco import load_coco_json
+    return load_coco_json(os.path.join(root, json_rel),
+                          os.path.join(root, img_rel))
+
+
+def _refcoco(root, json_rel, img_rel="coco/train2014"):
+    from .coco import load_refcoco_json
+    return load_refcoco_json(os.path.join(root, json_rel),
+                             os.path.join(root, img_rel))
+
+
+def _ytvis(root, json_rel, img_rel, has_expression=False):
+    from .video import load_ytvis_json
+    return load_ytvis_json(os.path.join(root, json_rel),
+                           os.path.join(root, img_rel), has_expression)
+
+
+def _bdd(root, json_rel, img_rel):
+    from .sot_datasets import load_bdd100k_track
+    return load_bdd100k_track(os.path.join(root, json_rel),
+                              os.path.join(root, img_rel))
+
+
+def _sot(root, kind, sub):
+    from . import sot_datasets as sd
+    fn = {"got10k": sd.load_got10k, "lasot": sd.load_lasot,
+          "trackingnet": sd.load_trackingnet}[kind]
+    return fn(os.path.join(root, sub))
+
+
+# ---- detection / grounding (images) ----
+register("coco_2017_train",
+         partial(_coco, json_rel="coco/annotations/instances_train2017.json",
+                 img_rel="coco/train2017"), "detection")
+register("coco_2017_val",
+         partial(_coco, json_rel="coco/annotations/instances_val2017.json",
+                 img_rel="coco/val2017"), "detection")
+register("objects365_v1_train",
+         partial(_coco, json_rel="Objects365v1/annotations/objects365_train.json",
+                 img_rel="Objects365v1/train"), "detection")
+register("objects365_v2_train",
+         partial(_coco, json_rel="Objects365V2/annotations/zhiyuan_objv2_train_fixname_fixmiss.json",
+                 img_rel="Objects365V2/images"), "detection")
+for split in ("train", "val", "testA", "testB"):
+    register(f"refcoco-unc-{split}",
+             partial(_refcoco, json_rel=f"annotations/refcoco-unc/instances_{split}.json"),
+             "grounding")
+    register(f"refcocoplus-unc-{split}",
+             partial(_refcoco, json_rel=f"annotations/refcocoplus-unc/instances_{split}.json"),
+             "grounding")
+for split in ("train", "val", "test"):
+    register(f"refcocog-umd-{split}",
+             partial(_refcoco, json_rel=f"annotations/refcocog-umd/instances_{split}.json"),
+             "grounding")
+register("refcoco-mixed",
+         partial(_refcoco, json_rel="annotations/refcoco-mixed/instances_train.json"),
+         "grounding")
+register("flickr30k_train",
+         partial(_refcoco, json_rel="flickr30k/final_flickr_separateGT_train.json",
+                 img_rel="flickr30k/flickr30k-images"), "grounding")
+
+# ---- video instance segmentation ----
+register("ytvis_2019_train",
+         partial(_ytvis, json_rel="ytvis_2019/train.json",
+                 img_rel="ytvis_2019/train/JPEGImages"), "detection")
+register("ytvis_2019_val",
+         partial(_ytvis, json_rel="ytvis_2019/valid.json",
+                 img_rel="ytvis_2019/valid/JPEGImages"), "detection")
+register("ytvis_2021_train",
+         partial(_ytvis, json_rel="ytvis_2021/train.json",
+                 img_rel="ytvis_2021/train/JPEGImages"), "detection")
+register("ytvis_2021_val",
+         partial(_ytvis, json_rel="ytvis_2021/valid.json",
+                 img_rel="ytvis_2021/valid/JPEGImages"), "detection")
+register("ovis_train",
+         partial(_ytvis, json_rel="ovis/annotations_train.json",
+                 img_rel="ovis/train"), "detection")
+register("ovis_val",
+         partial(_ytvis, json_rel="ovis/annotations_valid.json",
+                 img_rel="ovis/valid"), "detection")
+register("rvos-refytb-train",
+         partial(_ytvis, json_rel="ref-youtube-vos/train.json",
+                 img_rel="ref-youtube-vos/train/JPEGImages",
+                 has_expression=True), "grounding")
+register("rvos-refytb-val",
+         partial(_ytvis, json_rel="ref-youtube-vos/valid.json",
+                 img_rel="ref-youtube-vos/valid/JPEGImages",
+                 has_expression=True), "grounding")
+
+# ---- MOT / MOTS ----
+register("bdd_box_track_train",
+         partial(_bdd, json_rel="bdd/labels/box_track_20/train",
+                 img_rel="bdd/images/track/train"), "detection")
+register("bdd_box_track_val",
+         partial(_bdd, json_rel="bdd/labels/box_track_20/val",
+                 img_rel="bdd/images/track/val"), "detection")
+register("bdd_seg_track_train",
+         partial(_bdd, json_rel="bdd/labels/seg_track_20/train",
+                 img_rel="bdd/images/seg_track_20/train"), "detection")
+register("bdd_seg_track_val",
+         partial(_bdd, json_rel="bdd/labels/seg_track_20/val",
+                 img_rel="bdd/images/seg_track_20/val"), "detection")
+
+# ---- SOT / VOS ----
+register("got10k_train", partial(_sot, kind="got10k", sub="GOT10K"), "sot")
+register("got10k_val", lambda r: _sot(r, "got10k", "GOT10K"), "sot")
+register("lasot_train", partial(_sot, kind="lasot", sub="LaSOT_trainingset"),
+         "sot")
+register("lasot_test", partial(_sot, kind="lasot", sub="LaSOT_testingset"),
+         "sot")
+register("trackingnet_test",
+         partial(_sot, kind="trackingnet", sub="TrackingNet"), "sot")
+register("ytbvos18_train",
+         partial(_ytvis, json_rel="ytbvos18/train/train.json",
+                 img_rel="ytbvos18/train/JPEGImages"), "sot")
+register("ytbvos18_val",
+         partial(_ytvis, json_rel="ytbvos18/val/val.json",
+                 img_rel="ytbvos18/val/JPEGImages"), "sot")

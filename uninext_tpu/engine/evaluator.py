@@ -1,0 +1,158 @@
+"""Dataset evaluation loop: jitted serve over a dataset -> evaluators.
+
+Parity: detectron2 inference_on_dataset (evaluation/evaluator.py) +
+UNINEXT_IMG eval branch (uninext_img.py:257-306): bs=1 loader, per-image
+top-k/NMS postprocess, resize to original resolution, COCO/RefCOCO metrics.
+Multi-host: each process evaluates its shard; results concatenate on host
+(the reference's all_gather merge becomes a trivial list merge because
+evaluation state lives on host).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import UninextConfig
+from ..data.coco import UniDatasetMapper
+from ..evaluation.coco_eval import COCOEvaluator, refcoco_metrics
+from ..models.detr import UninextDETR, feature_shapes
+from ..models.postprocess import postprocess_detection
+
+
+class DetectionEvaluator:
+    """COCO-style evaluation of the image detection/instseg path."""
+
+    def __init__(self, model: UninextDETR, cfg: UninextConfig,
+                 cls_token_map: np.ndarray, with_masks: bool = False):
+        self.model = model
+        self.cfg = cfg
+        self.cls_token_map = jnp.asarray(cls_token_map)
+        self.with_masks = with_masks
+        self._steps: Dict = {}
+
+    def _step_for(self, H: int, W: int):
+        key = (H, W)
+        if key in self._steps:
+            return self._steps[key]
+        model, cfg = self.model, self.cfg
+        shapes = feature_shapes(cfg.transformer.num_feature_levels, H, W)
+
+        @jax.jit
+        def step(params, image, img_mask, sizes, tids, tmask):
+            out = model.apply({"params": params}, image, img_mask, sizes,
+                              tids, tmask, task="detection", train=False)
+            post = postprocess_detection(
+                {k: out[k] for k in ("pred_logits", "pred_boxes",
+                                     "pred_boxious") if k in out},
+                self.cls_token_map, use_nms=cfg.loss.ota)
+            if self.with_masks:
+                hs_sel = jnp.take_along_axis(
+                    out["hs"], post["query_idx"][..., None], axis=1)
+                ref_sel = jnp.take_along_axis(
+                    out["base_reference"], post["query_idx"][..., None],
+                    axis=1)
+                post["mask_logits"] = model.apply(
+                    {"params": params}, out["memory"], shapes, hs_sel,
+                    ref_sel, sizes, method=UninextDETR.predict_masks)
+            return post
+
+        self._steps[key] = step
+        return step
+
+    def evaluate(self, params, records: Sequence[Dict],
+                 mapper: UniDatasetMapper,
+                 score_thr: float = 0.0) -> Dict[str, float]:
+        ev = COCOEvaluator("segm" if self.with_masks else "bbox")
+        for rec in records:
+            s = mapper(rec)
+            Hb, Wb = s.bucket
+            step = self._step_for(Hb, Wb)
+            post = step(params, jnp.asarray(s.image[None]),
+                        jnp.asarray(s.img_mask[None]),
+                        jnp.asarray(s.image_size[None]),
+                        jnp.asarray(s.text_ids[None]),
+                        jnp.asarray(s.text_mask[None]))
+            post = {k: np.asarray(v)[0] for k, v in post.items()}
+            h, w = s.image_size
+            oh, ow = rec["height"], rec["width"]
+            boxes = post["boxes"] * [w, h, w, h]
+            boxes = boxes * [ow / w, oh / h, ow / w, oh / h]
+            keep = post["scores"] > score_thr
+            pred = {"boxes": boxes[keep], "scores": post["scores"][keep],
+                    "classes": post["classes"][keep]}
+            if self.with_masks:
+                from PIL import Image
+                pm = []
+                for logit in post["mask_logits"][keep]:
+                    m = Image.fromarray(np.asarray(logit, np.float32))
+                    m = m.resize((logit.shape[1] * 4, logit.shape[0] * 4),
+                                 Image.BILINEAR)
+                    m = np.asarray(m)[:h, :w]
+                    m = np.asarray(Image.fromarray(m).resize((ow, oh),
+                                                             Image.NEAREST))
+                    pm.append(m > 0)
+                pred["masks"] = pm
+            gt_boxes = []
+            gt_classes = []
+            gt_masks = []
+            for a in rec["annotations"]:
+                x, y, bw, bh = a["bbox"]
+                gt_boxes.append([x, y, x + bw, y + bh])
+                gt_classes.append(a["category_id"])
+            gt = {"boxes": np.array(gt_boxes, np.float32).reshape(-1, 4),
+                  "classes": np.array(gt_classes, np.int64)}
+            if self.with_masks:
+                from ..data.masks import polygons_to_mask, decode_mask
+                for a in rec["annotations"]:
+                    seg = a.get("segmentation")
+                    if isinstance(seg, dict):
+                        gt_masks.append(decode_mask(seg) > 0)
+                    elif seg:
+                        gt_masks.append(polygons_to_mask(seg, oh, ow) > 0)
+                    else:
+                        gt_masks.append(np.zeros((oh, ow), bool))
+                gt["masks"] = gt_masks
+            ev.add(gt, pred)
+        return ev.evaluate()
+
+
+def evaluate_refcoco(model: UninextDETR, cfg: UninextConfig, params,
+                     records: Sequence[Dict], mapper: UniDatasetMapper
+                     ) -> Dict[str, float]:
+    """REC evaluation: top-1 box per expression -> P@0.5 / oIoU."""
+    preds, gts = [], []
+    steps: Dict = {}
+    for rec in records:
+        s = mapper(rec)
+        Hb, Wb = s.bucket
+        if (Hb, Wb) not in steps:
+            @jax.jit
+            def step(params, image, img_mask, sizes, tids, tmask):
+                out = model.apply({"params": params}, image, img_mask, sizes,
+                                  tids, tmask, task="grounding", train=False)
+                prob = jax.nn.sigmoid(out["pred_logits"][..., 0])
+                if "pred_boxious" in out:
+                    prob = jnp.sqrt(prob * jax.nn.sigmoid(
+                        out["pred_boxious"][..., 0]))
+                best = prob.argmax(-1)
+                return jnp.take_along_axis(out["pred_boxes"],
+                                           best[:, None, None], axis=1)[:, 0]
+            steps[(Hb, Wb)] = step
+        box = np.asarray(steps[(Hb, Wb)](
+            params, jnp.asarray(s.image[None]), jnp.asarray(s.img_mask[None]),
+            jnp.asarray(s.image_size[None]), jnp.asarray(s.text_ids[None]),
+            jnp.asarray(s.text_mask[None])))[0]
+        h, w = s.image_size
+        oh, ow = rec["height"], rec["width"]
+        cx, cy, bw, bh = box
+        xyxy = np.array([(cx - bw / 2) * w, (cy - bh / 2) * h,
+                         (cx + bw / 2) * w, (cy + bh / 2) * h])
+        xyxy *= [ow / w, oh / h, ow / w, oh / h]
+        preds.append(xyxy)
+        a = rec["annotations"][0]
+        x, y, bw, bh = a["bbox"]
+        gts.append([x, y, x + bw, y + bh])
+    return refcoco_metrics(np.stack(preds), np.array(gts, np.float32))
