@@ -212,6 +212,10 @@ class UninextConfig:
     parallel: ParallelConfig = ParallelConfig()
     # compute dtype for backbone/transformer matmuls; params & heads stay f32
     compute_dtype: str = "bfloat16"
+    # rematerialize encoder layers in backward (the reference gradient-
+    # checkpoints VL fusion/BERT/transformer; here remat also avoids storing
+    # the ~1GB/layer gathered MSDA intermediate)
+    remat_encoder: bool = True
     # reid embedding head (video tasks)
     use_reid: bool = False
     reid_layers: int = 3

@@ -145,14 +145,17 @@ class UninextTransformer(nn.Module):
     cfg: TransformerConfig
     lcfg: LanguageConfig
     dtype: Any = jnp.float32
+    remat: bool = True
 
     def setup(self):
         c = self.cfg
         self.level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0),
             (c.num_feature_levels, c.d_model))
+        enc_cls = (nn.remat(EncoderLayer, static_argnums=(4,))
+                   if self.remat else EncoderLayer)
         self.enc_layers_mods = [
-            EncoderLayer(c, dtype=self.dtype, name=f"encoder_layer_{i}")
+            enc_cls(c, dtype=self.dtype, name=f"encoder_layer_{i}")
             for i in range(c.enc_layers)]
         self.vl_layers = [
             VLFuse(c, self.lcfg, dtype=self.dtype, name=f"vl_layer_{i}")
