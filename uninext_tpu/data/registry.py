@@ -158,3 +158,16 @@ register("ytbvos18_train",
 register("ytbvos18_val",
          partial(_ytvis, json_rel="ytbvos18/val/val.json",
                  img_rel="ytbvos18/val/JPEGImages"), "sot")
+
+# ---- Segmentation-in-the-Wild (25 coco-format subsets) ----
+_SEGINW_SUBSETS = (
+    "Airplane-Parts", "Bottles", "Brain-Tumor", "Chicken", "Cows",
+    "Electric-Shaver", "Elephants", "Fruits", "Garbage", "Ginger-Garlic",
+    "Hand", "Hand-Metal", "House-Parts", "HouseHold-Items", "Nutterfly-Squireel",
+    "Phones", "Poles", "Puppies", "Rail", "Salmon-Fillet", "Strawberry",
+    "Tablets", "Toolkits", "Trash", "Watermelon")
+for _sub in _SEGINW_SUBSETS:
+    register(f"seginw_{_sub}_val",
+             partial(_coco,
+                     json_rel=f"seginw/{_sub}/valid/_annotations_min1cat.coco.json",
+                     img_rel=f"seginw/{_sub}/valid"), "detection")
