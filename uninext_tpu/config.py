@@ -216,6 +216,9 @@ class UninextConfig:
     # checkpoints VL fusion/BERT/transformer; here remat also avoids storing
     # the ~1GB/layer gathered MSDA intermediate)
     remat_encoder: bool = True
+    # lax.scan over encoder layers (one compiled body, stacked params) —
+    # cuts compile time ~(enc_layers)x; disable for torch-checkpoint layout
+    scan_encoder: bool = True
     # reid embedding head (video tasks)
     use_reid: bool = False
     reid_layers: int = 3

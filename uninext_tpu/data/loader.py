@@ -80,15 +80,30 @@ class MultiDatasetLoader:
             i += 1
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        rng = random.Random(self.seed * 7919 + self.process_index)
-        # group by (dataset, bucket); flush a batch when a group is full
+        # map records on a thread pool (the reference uses worker processes;
+        # PIL decode + numpy release the GIL so threads overlap fine), then
+        # group by (dataset, bucket) and flush full batches
+        from concurrent.futures import ThreadPoolExecutor
+
+        def mapped():
+            rec_iter = self._sample_records()
+            with ThreadPoolExecutor(max_workers=max(self.num_workers, 1)) as ex:
+                pending = []
+                for d, record in rec_iter:
+                    seed = random.Random(self.seed ^ hash((d, id(record))))
+                    pending.append((d, ex.submit(self.datasets[d][1], record,
+                                                 seed)))
+                    if len(pending) >= 2 * self.num_workers + 1:
+                        d0, fut = pending.pop(0)
+                        yield d0, fut.result()
+                for d0, fut in pending:
+                    yield d0, fut.result()
+
         groups: Dict[tuple, List[MappedSample]] = {}
-        for d, record in self._sample_records():
-            _, mapper, bs = self.datasets[d]
-            sample = mapper(record, rng)
+        for d, sample in mapped():
             key = (d, sample.bucket)
             groups.setdefault(key, []).append(sample)
-            if len(groups[key]) == bs:
+            if len(groups[key]) == self.datasets[d][2]:
                 yield collate(groups.pop(key))
 
 

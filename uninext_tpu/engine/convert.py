@@ -189,7 +189,7 @@ def convert_transformer(sd: Dict, tree: Dict, report: Dict,
         _set(tree, [dst, "level_embed"], _t(lvl), report)
     w = sd.get(tp + "tgt_embed.weight")
     if w is not None:
-        _set(tree, [dst, "tgt_embed", "embedding"], _t(w), report)
+        _set(tree, [dst, "tgt_embed_weight"], _t(w), report)
     _dense(sd, tp + "enc_output", tree, [dst, "enc_output"], report)
     _ln(sd, tp + "enc_output_norm", tree, [dst, "enc_output_norm"], report)
     _dense(sd, tp + "resizer.fc", tree, [dst, "resizer", "fc"], report)
@@ -197,16 +197,41 @@ def convert_transformer(sd: Dict, tree: Dict, report: Dict,
     _mlp(sd, tp + "decoder.ref_point_head", tree,
          [dst, "ref_point_head"], report, 2)
 
-    i = 0
-    while f"{tp}encoder.layers.{i}.norm1.weight" in sd:
-        lp = f"{tp}encoder.layers.{i}"
-        d = [dst, f"encoder_layer_{i}"]
-        _msda(sd, lp + ".self_attn", tree, d + ["self_attn"], report)
-        _ln(sd, lp + ".norm1", tree, d + ["norm1"], report)
-        _ln(sd, lp + ".norm2", tree, d + ["norm2"], report)
-        _dense(sd, lp + ".linear1", tree, d + ["linear1"], report)
-        _dense(sd, lp + ".linear2", tree, d + ["linear2"], report)
-        i += 1
+    scan_layout = "encoder_scan" in tree.get(dst, {})
+    if scan_layout:
+        # stacked-scan layout: load each torch layer into a scratch tree of
+        # the single-layer structure, then write stacked along axis 0
+        import jax as _jax
+        proto = jax_tree_to_numpy(tree[dst]["encoder_scan"]["layer"])
+        per_layer = []
+        i = 0
+        while f"{tp}encoder.layers.{i}.norm1.weight" in sd:
+            # unstacked single-layer template with the right shapes
+            scratch = {"layer": _jax.tree.map(
+                lambda x: np.array(x[min(i, x.shape[0] - 1)]), proto)}
+            lp = f"{tp}encoder.layers.{i}"
+            d = ["layer"]
+            _msda(sd, lp + ".self_attn", scratch, d + ["self_attn"], report)
+            _ln(sd, lp + ".norm1", scratch, d + ["norm1"], report)
+            _ln(sd, lp + ".norm2", scratch, d + ["norm2"], report)
+            _dense(sd, lp + ".linear1", scratch, d + ["linear1"], report)
+            _dense(sd, lp + ".linear2", scratch, d + ["linear2"], report)
+            per_layer.append(scratch["layer"])
+            i += 1
+        if per_layer:
+            tree[dst]["encoder_scan"]["layer"] = _jax.tree.map(
+                lambda *xs: np.stack(xs), *per_layer)
+    else:
+        i = 0
+        while f"{tp}encoder.layers.{i}.norm1.weight" in sd:
+            lp = f"{tp}encoder.layers.{i}"
+            d = [dst, f"encoder_layer_{i}"]
+            _msda(sd, lp + ".self_attn", tree, d + ["self_attn"], report)
+            _ln(sd, lp + ".norm1", tree, d + ["norm1"], report)
+            _ln(sd, lp + ".norm2", tree, d + ["norm2"], report)
+            _dense(sd, lp + ".linear1", tree, d + ["linear1"], report)
+            _dense(sd, lp + ".linear2", tree, d + ["linear2"], report)
+            i += 1
     i = 0
     while f"{tp}encoder.vl_layers.{i}.b_attn.gamma_v" in sd:
         lp = f"{tp}encoder.vl_layers.{i}.b_attn"

@@ -33,6 +33,16 @@ class Trainer:
         # iterations (parity: TorchProfiler hook, engine/hooks.py:376)
         self.profile_iters = profile_iters
         self.profile_dir = f"{output_dir}/profile"
+        # persistent XLA compilation cache: the multi-scale bucket design
+        # compiles one executable per (task, bucket); caching makes that a
+        # one-time cost across runs (first compile of the full train step at
+        # 800x1216 is tens of minutes on this stack)
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              f"{output_dir}/xla_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+        except Exception:
+            pass
         self.cfg = cfg
         self.loader = loader
         self.task = task

@@ -196,6 +196,7 @@ class UninextDETR(nn.Module):
         self.bert = BertEncoder(c.language, dtype=dtype, name="bert")
         self.transformer = UninextTransformer(t, c.language, dtype=dtype,
                                               remat=c.remat_encoder,
+                                              scan_encoder=c.scan_encoder,
                                               name="transformer")
         self.class_embeds = [VLAlign(t, lang_dim=c.language.hidden_dim,
                                      name=f"class_embed_{i}")

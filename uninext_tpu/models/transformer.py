@@ -55,6 +55,23 @@ class EncoderLayer(nn.Module):
         return nn.LayerNorm(name="norm2")(src + h)
 
 
+class EncoderScanBody(nn.Module):
+    """Scan-compatible wrapper: carry = visual tokens; pos/ref/mask broadcast.
+
+    Compiling ONE layer body via nn.scan instead of 6 inlined copies cuts the
+    dominant compile cost (each copy contains the full MSDA gather graph);
+    spatial_shapes rides as a static attribute."""
+    cfg: TransformerConfig
+    spatial_shapes: Tuple[Tuple[int, int], ...]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, pos, reference_points, padding_mask):
+        out = EncoderLayer(self.cfg, dtype=self.dtype, name="layer")(
+            carry, pos, reference_points, self.spatial_shapes, padding_mask)
+        return out, ()
+
+
 class DecoderLayer(nn.Module):
     cfg: TransformerConfig
     dtype: Any = jnp.float32
@@ -146,30 +163,11 @@ class UninextTransformer(nn.Module):
     lcfg: LanguageConfig
     dtype: Any = jnp.float32
     remat: bool = True
+    # scan encoder layers (one compiled body, stacked params) — requires the
+    # VL fusion to be hoisted before the stack, i.e. num_vl_layers <= 1
+    scan_encoder: bool = True
 
-    def setup(self):
-        c = self.cfg
-        self.level_embed = self.param(
-            "level_embed", nn.initializers.normal(1.0),
-            (c.num_feature_levels, c.d_model))
-        enc_cls = (nn.remat(EncoderLayer, static_argnums=(4,))
-                   if self.remat else EncoderLayer)
-        self.enc_layers_mods = [
-            enc_cls(c, dtype=self.dtype, name=f"encoder_layer_{i}")
-            for i in range(c.enc_layers)]
-        self.vl_layers = [
-            VLFuse(c, self.lcfg, dtype=self.dtype, name=f"vl_layer_{i}")
-            for i in range(min(c.num_vl_layers, c.enc_layers))
-        ] if c.use_early_fusion else []
-        self.dec_layers_mods = [
-            DecoderLayer(c, dtype=self.dtype, name=f"decoder_layer_{i}")
-            for i in range(c.dec_layers)]
-        self.tgt_embed = nn.Embed(c.num_queries, c.d_model, name="tgt_embed")
-        self.enc_output = nn.Dense(c.d_model, name="enc_output")
-        self.enc_output_norm = nn.LayerNorm(name="enc_output_norm")
-        self.resizer = FeatureResizer(c.d_model, name="resizer")
-        self.ref_point_head = MLP(c.d_model, c.d_model, 2, name="ref_point_head")
-
+    @nn.compact
     def __call__(self,
                  srcs: Sequence[jnp.ndarray],        # per level (B, H, W, C)
                  masks: Sequence[jnp.ndarray],       # per level (B, H, W) True=pad
@@ -186,34 +184,64 @@ class UninextTransformer(nn.Module):
         c = self.cfg
         B = srcs[0].shape[0]
         spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
+        level_embed = self.param("level_embed", nn.initializers.normal(1.0),
+                                 (c.num_feature_levels, c.d_model))
+        use_scan = (self.scan_encoder and c.num_vl_layers <= 1
+                    and c.enc_layers > 1)
+        vl_layers = [
+            VLFuse(c, self.lcfg, dtype=self.dtype, name=f"vl_layer_{i}")
+            for i in range(min(c.num_vl_layers, c.enc_layers))
+        ] if c.use_early_fusion else []
 
         src_flatten = jnp.concatenate(
             [s.reshape(B, -1, c.d_model) for s in srcs], 1)
         mask_flatten = jnp.concatenate([m.reshape(B, -1) for m in masks], 1)
         pos_flatten = jnp.concatenate(
-            [p.reshape(B, -1, c.d_model) + self.level_embed[l][None, None]
+            [p.reshape(B, -1, c.d_model) + level_embed[l][None, None]
              for l, p in enumerate(pos_embeds)], 1)
         valid_ratios = compute_valid_ratios(masks)
 
         # ---- encoder with interleaved VL fusion (first num_vl_layers) ----
         enc_ref = encoder_reference_points(spatial_shapes, valid_ratios)
         visual = src_flatten
-        for i, layer in enumerate(self.enc_layers_mods):
-            if i < len(self.vl_layers):
-                visual, lang_hidden = self.vl_layers[i](visual, lang_hidden,
-                                                        lang_mask)
-            visual = layer(visual, pos_flatten, enc_ref, spatial_shapes,
-                           mask_flatten)
+        if use_scan:
+            if vl_layers:
+                visual, lang_hidden = vl_layers[0](visual, lang_hidden,
+                                                   lang_mask)
+            body = EncoderScanBody
+            if self.remat:
+                body = nn.remat(body, prevent_cse=False)
+            scan = nn.scan(body,
+                           variable_axes={"params": 0},
+                           split_rngs={"params": True},
+                           in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                           length=c.enc_layers)
+            visual, _ = scan(c, spatial_shapes, dtype=self.dtype,
+                             name="encoder_scan")(
+                visual, pos_flatten, enc_ref, mask_flatten)
+        else:
+            enc_cls = (nn.remat(EncoderLayer, static_argnums=(4,))
+                       if self.remat else EncoderLayer)
+            for i in range(c.enc_layers):
+                if i < len(vl_layers):
+                    visual, lang_hidden = vl_layers[i](
+                        visual, lang_hidden, lang_mask)
+                visual = enc_cls(c, dtype=self.dtype,
+                                 name=f"encoder_layer_{i}")(
+                    visual, pos_flatten, enc_ref, spatial_shapes,
+                    mask_flatten)
         memory = visual
 
         # pooled language feature (after fusion)
         lang_pool = agg_lang_feat(lang_hidden, lang_mask)      # (B, 768)
-        ref_feat = self.resizer(lang_pool)[:, None]            # (B, 1, 256)
+        ref_feat = FeatureResizer(c.d_model, name="resizer")(
+            lang_pool)[:, None]                                # (B, 1, 256)
 
         # ---- two-stage proposal generation ----
         out_memory, out_proposals = gen_encoder_output_proposals(
             memory, mask_flatten, spatial_shapes)
-        out_memory = self.enc_output_norm(self.enc_output(out_memory))
+        out_memory = nn.LayerNorm(name="enc_output_norm")(
+            nn.Dense(c.d_model, name="enc_output")(out_memory))
         enc_class = enc_class_head(out_memory, lang_pool[:, None])
         enc_coord_unact = (enc_bbox_head(out_memory).astype(jnp.float32)
                            + out_proposals)
@@ -229,7 +257,10 @@ class UninextTransformer(nn.Module):
         init_reference = reference_points
 
         # mixed query selection: learnable content queries
-        tgt = jnp.tile(self.tgt_embed.embedding[None], (B, 1, 1))
+        tgt_embed = self.param("tgt_embed_weight",
+                               nn.initializers.normal(1.0),
+                               (c.num_queries, c.d_model))
+        tgt = jnp.tile(tgt_embed[None], (B, 1, 1))
         if dn_tgt is not None:
             tgt = jnp.concatenate([dn_tgt, tgt], 1)
         # decoupled tgt (reference :243-255): still tgt for both tasks, keep
@@ -246,13 +277,16 @@ class UninextTransformer(nn.Module):
         tgt = tgt.astype(self.dtype)
         intermediate = []
         intermediate_refs = []
-        for lid, layer in enumerate(self.dec_layers_mods):
+        ref_point_head = MLP(c.d_model, c.d_model, 2, name="ref_point_head")
+        for lid in range(c.dec_layers):
             ref_input = (reference_points[:, :, None]
                          * jnp.concatenate([valid_ratios] * 2, -1)[:, None])
             query_sine = get_sine_pos_embed(ref_input[:, :, 0, :])
-            query_pos = self.ref_point_head(query_sine).astype(self.dtype)
-            tgt = layer(tgt, query_pos, ref_input, memory, spatial_shapes,
-                        mask_flatten, attn_mask)
+            query_pos = ref_point_head(query_sine).astype(self.dtype)
+            tgt = DecoderLayer(c, dtype=self.dtype,
+                               name=f"decoder_layer_{lid}")(
+                tgt, query_pos, ref_input, memory, spatial_shapes,
+                mask_flatten, attn_mask)
             delta = bbox_heads[lid](tgt).astype(jnp.float32)
             new_ref = jax.nn.sigmoid(delta + inverse_sigmoid(reference_points))
             reference_points = jax.lax.stop_gradient(new_ref)
