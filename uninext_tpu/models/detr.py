@@ -439,50 +439,57 @@ class UninextDETR(nn.Module):
         losses: Dict[str, jnp.ndarray] = {}
         suffix = lambda lvl: "" if lvl == t.dec_layers - 1 else f"_{lvl}"
 
-        for lvl, layer in enumerate(outputs["layers"]):
-            logits = layer["pred_logits"]
-            boxes = layer["pred_boxes"]
+        # ---- decoder-layer losses: ONE vmapped body over the layer axis ----
+        # (compiling one copy of matching+losses instead of dec_layers copies
+        # cuts train-graph compile time substantially)
+        layers = outputs["layers"]
+        stack = lambda k: jnp.stack([l[k] for l in layers])
+        logits_s = stack("pred_logits")
+        boxes_s = stack("pred_boxes")
+        base_s = stack("base_reference")
+        iou_s = stack("pred_boxious") if t.use_iou_branch else None
+        ctrl_s = (self.controller(stack("hs"))
+                  if mask_feats is not None else None)
+        mask_feats_f = (mask_feats.astype(jnp.float32)
+                        if mask_feats is not None else None)
+
+        def per_layer(logits, boxes, base_ref, iou_pred, ctrl):
+            out: Dict[str, jnp.ndarray] = {}
             sg_logits = jax.lax.stop_gradient(logits)
             sg_boxes = jax.lax.stop_gradient(boxes)
             if lcfg.ota:
                 cost, iou = jax.vmap(ota_cost_and_iou, (0, 0, 0, 0, 0))(
                     sg_logits, sg_boxes, positive_map, gt_boxes, gt_valid)
-                q2g, _ = jax.vmap(simota_match)(
-                    cost, iou, gt_valid)
+                q2g, _ = jax.vmap(simota_match)(cost, iou, gt_valid)
             else:
-                cost = jax.vmap(vl_cost_matrix, (0, 0, 0, 0, 0, None, None, None))(
+                cost = jax.vmap(vl_cost_matrix,
+                                (0, 0, 0, 0, 0, None, None, None))(
                     sg_logits, sg_boxes, positive_map, gt_boxes, gt_valid,
-                    lcfg.set_cost_class, lcfg.set_cost_box, lcfg.set_cost_giou)
+                    lcfg.set_cost_class, lcfg.set_cost_box,
+                    lcfg.set_cost_giou)
                 q2g = jax.vmap(hungarian_match)(cost, gt_valid)
 
             n_matched = jnp.maximum((q2g >= 0).sum().astype(jnp.float32), 1.0)
             num_boxes = n_matched if lcfg.ota else num_boxes_global
-
-            losses[f"loss_ce{suffix(lvl)}"] = crit.loss_labels_vl(
+            out["loss_ce"] = crit.loss_labels_vl(
                 logits, positive_map, q2g, text_mask_loss, num_boxes, lcfg)
-            box_losses = crit.loss_boxes(
-                boxes, gt_boxes, q2g, num_boxes,
-                layer.get("pred_boxious"))
-            losses[f"loss_bbox{suffix(lvl)}"] = box_losses["loss_bbox"]
-            losses[f"loss_giou{suffix(lvl)}"] = box_losses["loss_giou"]
+            box_losses = crit.loss_boxes(boxes, gt_boxes, q2g, num_boxes,
+                                         iou_pred)
+            out["loss_bbox"] = box_losses["loss_bbox"]
+            out["loss_giou"] = box_losses["loss_giou"]
             if "loss_boxiou" in box_losses:
-                losses[f"loss_boxiou{suffix(lvl)}"] = box_losses["loss_boxiou"]
+                out["loss_boxiou"] = box_losses["loss_boxiou"]
 
-            if mask_feats is not None:
+            if mask_feats_f is not None:
                 sel_q, sel_valid = select_matched(q2g, c.mask_head.max_insts)
-                params = jnp.take_along_axis(
-                    self.controller(layer["hs"]), sel_q[..., None], axis=1)
-                base_ref = jnp.take_along_axis(layer["base_reference"],
-                                               sel_q[..., None], axis=1)
-                # centers in input-image pixels (unpadded size)
-                scale = image_sizes[:, None, ::-1].astype(jnp.float32)  # (w,h)
-                centers = base_ref[..., :2] * scale
+                params = jnp.take_along_axis(ctrl, sel_q[..., None], axis=1)
+                bref = jnp.take_along_axis(base_ref, sel_q[..., None], axis=1)
+                scale = image_sizes[:, None, ::-1].astype(jnp.float32)
+                centers = bref[..., :2] * scale
                 mask_logits = dynamic_mask_forward(
-                    mask_feats.astype(jnp.float32), centers, params,
-                    c.mask_head)
-                tgt_g = jnp.take_along_axis(q2g, sel_q, axis=1)         # (B,N)
+                    mask_feats_f, centers, params, c.mask_head)
+                tgt_g = jnp.take_along_axis(q2g, sel_q, axis=1)
                 if lcfg.boxinst:
-                    # box-supervised: projection + pairwise color losses
                     bitmasks = crit.gather_by_match(
                         targets["box_bitmasks"].astype(jnp.float32), tgt_g)
                     warmup = jnp.clip(
@@ -494,17 +501,24 @@ class UninextDETR(nn.Module):
                         lcfg.boxinst_pairwise_color_thresh,
                         lcfg.boxinst_pairwise_size,
                         lcfg.boxinst_pairwise_dilation)
-                    losses[f"loss_prj{suffix(lvl)}"] = m_losses["loss_prj"]
-                    losses[f"loss_pairwise{suffix(lvl)}"] = \
-                        m_losses["loss_pairwise"]
+                    out["loss_prj"] = m_losses["loss_prj"]
+                    out["loss_pairwise"] = m_losses["loss_pairwise"]
                 else:
                     tgt_masks = crit.gather_by_match(
                         targets["masks"].astype(jnp.float32), tgt_g)
                     m_losses = crit.loss_masks(
-                        mask_logits, tgt_masks, sel_valid,
-                        n_matched if lcfg.ota else num_boxes_global, lcfg)
-                    losses[f"loss_mask{suffix(lvl)}"] = m_losses["loss_mask"]
-                    losses[f"loss_dice{suffix(lvl)}"] = m_losses["loss_dice"]
+                        mask_logits, tgt_masks, sel_valid, num_boxes, lcfg)
+                    out["loss_mask"] = m_losses["loss_mask"]
+                    out["loss_dice"] = m_losses["loss_dice"]
+            return out
+
+        per_layer_losses = jax.vmap(per_layer, in_axes=(0, 0, 0,
+                                                        0 if iou_s is not None else None,
+                                                        0 if ctrl_s is not None else None))(
+            logits_s, boxes_s, base_s, iou_s, ctrl_s)
+        for key, vals in per_layer_losses.items():
+            for lvl in range(t.dec_layers):
+                losses[f"{key}{suffix(lvl)}"] = vals[lvl]
 
         # ---- encoder (binary) losses: Hungarian on all positions ----
         enc_logits = outputs["enc_class"]                       # (B, S, 1)
@@ -522,18 +536,24 @@ class UninextDETR(nn.Module):
         losses["loss_bbox_enc"] = enc_box_losses["loss_bbox"]
         losses["loss_giou_enc"] = enc_box_losses["loss_giou"]
 
-        # ---- dn losses ----
+        # ---- dn losses (vmapped over the layer axis) ----
         if "dn_q2g" in outputs:
             dn_q2g = outputs["dn_q2g"]
             dn_num_boxes = num_boxes_global * DN_GROUPS
-            for lvl, layer in enumerate(outputs["layers"]):
-                losses[f"loss_ce_dn{suffix(lvl)}"] = crit.loss_labels_vl(
-                    layer["dn_logits"], positive_map, dn_q2g, text_mask_loss,
-                    dn_num_boxes, lcfg)
-                dn_box = crit.loss_boxes(layer["dn_boxes"], gt_boxes, dn_q2g,
-                                         dn_num_boxes)
-                losses[f"loss_bbox_dn{suffix(lvl)}"] = dn_box["loss_bbox"]
-                losses[f"loss_giou_dn{suffix(lvl)}"] = dn_box["loss_giou"]
+            dn_logits_s = stack("dn_logits")
+            dn_boxes_s = stack("dn_boxes")
+
+            def dn_layer(dl, db):
+                ce = crit.loss_labels_vl(dl, positive_map, dn_q2g,
+                                         text_mask_loss, dn_num_boxes, lcfg)
+                bx = crit.loss_boxes(db, gt_boxes, dn_q2g, dn_num_boxes)
+                return ce, bx["loss_bbox"], bx["loss_giou"]
+
+            ce_s, bbox_s, giou_s = jax.vmap(dn_layer)(dn_logits_s, dn_boxes_s)
+            for lvl in range(t.dec_layers):
+                losses[f"loss_ce_dn{suffix(lvl)}"] = ce_s[lvl]
+                losses[f"loss_bbox_dn{suffix(lvl)}"] = bbox_s[lvl]
+                losses[f"loss_giou_dn{suffix(lvl)}"] = giou_s[lvl]
 
         return losses
 
