@@ -143,6 +143,43 @@ def prepare_dn_static(gt_boxes: jnp.ndarray, gt_valid: jnp.ndarray,
     return dn_tgt, dn_ref_unact, dn_q2g
 
 
+def init_all_paths(model: "UninextDETR", rng: jax.Array,
+                   H: int = 64, W: int = 96):
+    """Initialize EVERY parameter of the unified model in one pass.
+
+    The standard image init misses the SOT/VOS template branch (adjust_layer,
+    optional template backbone) and, for image configs, the reid head; this
+    helper runs all paths on tiny dummy inputs so checkpoints are complete
+    (parity: the reference's one nn.Module owns all submodules up front)."""
+    c = model.cfg
+    B, T, G = 1, c.data.max_text_len, c.data.max_insts
+    images = jnp.zeros((B, H, W, 3), jnp.float32)
+    img_mask = jnp.zeros((B, H, W), bool)
+    sizes = jnp.array([[H, W]], jnp.int32)
+    tids = jnp.zeros((B, T), jnp.int32)
+    tmask = jnp.ones((B, T), jnp.int32)
+    targets = {
+        "boxes": jnp.tile(jnp.array([[[0.5, 0.5, 0.2, 0.2]]]), (B, G, 1)),
+        "valid": jnp.ones((B, G), bool),
+        "positive_map": jnp.ones((B, G, T), bool),
+        "masks": jnp.zeros((B, G, H // 4, W // 4), jnp.float32),
+        "has_masks": True,
+    }
+
+    def all_paths(mod):
+        losses = mod(images, img_mask, sizes, tids, tmask, task="detection",
+                     targets=targets, train=True)
+        ts = c.sot.template_size
+        nch = 4 if c.sot.extra_backbone_for_template else 3
+        lang = mod.encode_template(jnp.zeros((B, ts, ts, nch), jnp.float32))
+        if c.use_reid:
+            _ = mod.reid_embed(jnp.zeros((B, 4, c.transformer.d_model)))
+        return losses
+
+    return model.init({"params": rng, "dn": jax.random.fold_in(rng, 7)},
+                      method=all_paths)
+
+
 class UninextDETR(nn.Module):
     cfg: UninextConfig
 
