@@ -1,0 +1,45 @@
+"""Evaluation loop plumbing: tiny model over synthetic COCO records."""
+import dataclasses
+import json
+
+import numpy as np
+import jax
+import pytest
+from PIL import Image
+
+from test_model import small_cfg
+from test_pipeline import coco_dir  # fixture
+from uninext_tpu.data.coco import UniDatasetMapper, load_coco_json
+from uninext_tpu.data.prompts import create_label_token_map
+from uninext_tpu.data.tokenizer import BertTokenizer
+from uninext_tpu.engine.evaluator import DetectionEvaluator
+from uninext_tpu.models.detr import UninextDETR
+
+
+def test_detection_eval_loop(coco_dir):
+    cfg = small_cfg()
+    dcfg = dataclasses.replace(cfg.data, min_size_test=64, max_size_test=96)
+    cfg = dataclasses.replace(cfg, data=dcfg)
+    records, cats = load_coco_json(str(coco_dir / "train.json"), str(coco_dir))
+    records = records[:2]
+    tok = BertTokenizer()
+    mapper = UniDatasetMapper(cfg.data, cats, tok, is_train=False,
+                              with_masks=False)
+    ids, mask, cmap = create_label_token_map(cats, tok, cfg.data.max_text_len)
+
+    import jax.numpy as jnp
+    model = UninextDETR(cfg)
+    s = mapper(records[0])
+    args = [jnp.asarray(x[None]) for x in
+            (s.image, s.img_mask, s.image_size, s.text_ids, s.text_mask)]
+    params = jax.jit(lambda r: model.init(
+        {"params": r}, *args, task="detection",
+        train=False))(jax.random.PRNGKey(0))
+
+    ev = DetectionEvaluator(model, cfg, cmap, with_masks=False)
+    res = ev.evaluate(params["params"], records, mapper, score_thr=0.0)
+    assert set(res) == {"AP", "AP50", "AP75", "APs", "APm", "APl"}
+    # untrained model: AP finite (possibly ~0), never negative
+    assert np.isfinite(res["AP"]) or np.isnan(res["AP"])
+    if np.isfinite(res["AP"]):
+        assert 0.0 <= res["AP"] <= 1.0

@@ -85,6 +85,11 @@ class TransformerConfig:
     log_scale: float = 0.0
     prior_prob: float = 0.01
     clamp_dot_product: bool = True
+    # sequence parallelism: shard the flattened image tokens over the mesh's
+    # "model" axis inside the encoder (the TPU answer to the reference's
+    # absent long-context story, SURVEY §5 — lets bs=1 serving scale over
+    # chips). Requires running under a mesh with a "model" axis.
+    sp_encoder: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

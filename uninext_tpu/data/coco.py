@@ -120,25 +120,38 @@ class UniDatasetMapper:
     def __init__(self, cfg: DataConfig, categories: Sequence[str],
                  tokenizer: Optional[BertTokenizer] = None,
                  is_train: bool = True, with_masks: bool = True,
-                 max_classes_per_prompt: int = 80):
+                 max_classes_per_prompt: int = 80,
+                 lsj: bool = False, lsj_size: int = 1024,
+                 lsj_min_scale: float = 0.1, lsj_max_scale: float = 2.0):
         self.cfg = cfg
         self.categories = list(categories)
         self.tok = tokenizer or BertTokenizer()
         self.is_train = is_train
         self.with_masks = with_masks
         self.max_classes = max_classes_per_prompt
+        # large-scale jitter (INPUT.DATASET_MAPPER_NAME=coco_instance_lsj):
+        # random scale into a fixed square canvas (single compile bucket)
+        self.lsj = lsj
+        self.lsj_size = lsj_size
+        self.lsj_scale = (lsj_min_scale, lsj_max_scale)
 
     # -- geometry ------------------------------------------------------
     def _load_and_resize(self, record: Dict, rng: random.Random):
         img = Image.open(record["file_name"]).convert("RGB")
         w0, h0 = img.size
-        if self.is_train:
+        if self.lsj and self.is_train:
+            scale = rng.uniform(*self.lsj_scale)
+            s = min(self.lsj_size / h0, self.lsj_size / w0) * scale
+            h = min(int(round(h0 * s)), self.lsj_size)
+            w = min(int(round(w0 * s)), self.lsj_size)
+        elif self.is_train:
             short = rng.choice(self.cfg.min_size_train)
             max_size = self.cfg.max_size_train
+            h, w = resize_shortest_edge(h0, w0, short, max_size)
         else:
             short = self.cfg.min_size_test
             max_size = self.cfg.max_size_test
-        h, w = resize_shortest_edge(h0, w0, short, max_size)
+            h, w = resize_shortest_edge(h0, w0, short, max_size)
         img = img.resize((w, h), Image.BILINEAR)
         flip = self.is_train and rng.random() < 0.5
         if flip:
@@ -148,6 +161,8 @@ class UniDatasetMapper:
         return arr.astype(np.float32), (h0, w0), (h, w), flip
 
     def _bucket(self, h: int, w: int) -> Tuple[int, int]:
+        if self.lsj and self.is_train:
+            return self.lsj_size, self.lsj_size
         d = self.cfg.size_divisibility
         return round_up(h, d), round_up(w, d)
 

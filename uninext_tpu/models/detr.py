@@ -49,6 +49,7 @@ DN_GROUPS = 5
 
 def _downsample_mask(mask: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     """Nearest-downsample a (B, H, W) bool padding mask to (B, h, w)."""
+    mask = jnp.asarray(mask)
     H, W = mask.shape[1:]
     h, w = hw
     iy = (jnp.arange(h) * H) // h

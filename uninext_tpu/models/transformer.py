@@ -204,6 +204,12 @@ class UninextTransformer(nn.Module):
         # ---- encoder with interleaved VL fusion (first num_vl_layers) ----
         enc_ref = encoder_reference_points(spatial_shapes, valid_ratios)
         visual = src_flatten
+        if c.sp_encoder:
+            # sequence parallelism: queries shard over the "model" axis; the
+            # value table is re-gathered by XLA where the sampling needs it
+            from jax.sharding import PartitionSpec as P
+            visual = jax.lax.with_sharding_constraint(
+                visual, P("data", "model", None))
         if use_scan:
             if vl_layers:
                 visual, lang_hidden = vl_layers[0](visual, lang_hidden,
