@@ -217,28 +217,3 @@ def loss_reid_static(contrast: jnp.ndarray, labels3: jnp.ndarray,
     return {"loss_reid": loss_contrast, "loss_reid_aux": loss_aux}
 
 
-def loss_reid(contrast: jnp.ndarray, labels: jnp.ndarray,
-              valid_rows: jnp.ndarray, cos_sim: jnp.ndarray,
-              cos_labels: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """Contrastive reid loss (logsumexp form) + L2 auxiliary.
-
-    contrast: (I, K) raw dot products of matched key-query embeds vs K
-    reference-frame embeds; labels: (I, K) in {0,1}; valid_rows: (I,);
-    cos_sim/cos_labels: (I, K) cosine similarities + targets.
-    Parity: reference loss_reid (deformable_detr.py:529-565).
-    """
-    pos = labels > 0.5
-    valid = valid_rows[:, None]
-    # x[k1,k2] = neg[k2] - pos[k1]; padded column of zeros (the "1" in ref pad)
-    pred_pos = jnp.where(pos & valid, contrast, jnp.inf)     # keep pos
-    pred_neg = jnp.where((~pos) & valid, contrast, -jnp.inf)  # keep neg
-    diff = pred_neg[:, None, :] - pred_pos[:, :, None]       # (I, K, K)
-    I, K, _ = diff.shape
-    diff = diff.reshape(I, K * K)
-    diff = jnp.concatenate([diff, jnp.zeros((I, 1))], axis=-1)
-    contras = jax.nn.logsumexp(diff, axis=-1)
-    n = jnp.maximum(valid_rows.sum(), 1.0)
-    contras = (contras * valid_rows).sum() / n
-    aux = ((cos_sim - cos_labels) ** 2).mean(-1)
-    aux = (aux * valid_rows).sum() / n
-    return {"loss_reid": contras, "loss_reid_aux": aux}
