@@ -57,7 +57,7 @@ def main():
     # memoized), so we time N in-graph iterations with a perturbed input
     # inside ONE jit and sync via scalar readback, subtracting the measured
     # dispatch+readback overhead.
-    n = 20
+    n = 50
 
     @jax.jit
     def loop(p, im, msk, sz, tid, tmsk):

@@ -227,6 +227,10 @@ class UninextConfig:
     # reid embedding head (video tasks)
     use_reid: bool = False
     reid_layers: int = 3
+    # USE_DEFORMABLE_REID_HEAD / N_LAYER_DEFORMABLE_REID / DETACH_REID
+    use_deformable_reid: bool = False
+    n_layer_deformable_reid: int = 2
+    detach_reid: bool = False
 
 
 def image_joint_r50() -> UninextConfig:

@@ -262,6 +262,15 @@ class UninextDETR(nn.Module):
         if c.use_reid:
             self.reid_embed = MLP(t.d_model, t.d_model, c.reid_layers,
                                   name="reid_embed")
+            if c.use_deformable_reid:
+                # reference DeformableReidHead (deformable_transformer_dino.py
+                # :504-528): a small deformable decoder before the reid MLP
+                from .transformer import DecoderLayer
+                self.reid_dec_layers = [
+                    DecoderLayer(t, dtype=dtype, name=f"reid_dec_{i}")
+                    for i in range(c.n_layer_deformable_reid)]
+                self.reid_ref_point_head = MLP(t.d_model, t.d_model, 2,
+                                               name="reid_ref_point_head")
         # SOT/VOS: template tokens -> language-dim pseudo-prompt
         # (reference ddetrs_vid.py:37 adjust_layer 256->768)
         self.adjust_layer = nn.Dense(c.language.hidden_dim,
@@ -270,6 +279,10 @@ class UninextDETR(nn.Module):
             self.template_backbone = ResNet(
                 depth=50, in_channels=4, dtype=dtype,
                 name="template_backbone")
+        if c.sot.feature_fusion:
+            from .sot import FeatureFuser
+            self.sot_fuser = FeatureFuser(t.d_model, dtype=dtype,
+                                          name="sot_fuser")
 
     # ------------------------------------------------------------------
     def encode_template(self, template_images: jnp.ndarray) -> Dict:
@@ -288,7 +301,7 @@ class UninextDETR(nn.Module):
             feats = self.backbone(template_images)
         level_feats = [feats[f"res{i+3}"]
                        for i in range(len(c.backbone.out_channels))]
-        tokens = []
+        levels = []
         r = c.sot.ref_feat_size
         for i in range(t.num_feature_levels):
             if i < len(level_feats):
@@ -298,9 +311,16 @@ class UninextDETR(nn.Module):
             else:
                 x = self.input_norm[i](self.input_proj[i](prev))
             prev = x
-            tokens.append(resize_level(x, r).reshape(x.shape[0], r * r,
-                                                     t.d_model))
-        tok = jnp.concatenate(tokens, axis=1)            # (B, L*r*r, 256)
+            levels.append(x)
+        if c.sot.feature_fusion:
+            # SOT.FEAT_FUSE: fuse P3-P6 into one map -> r*r tokens
+            fused = self.sot_fuser(levels)
+            tok = resize_level(fused, r).reshape(fused.shape[0], r * r,
+                                                 t.d_model)
+        else:
+            tokens = [resize_level(x, r).reshape(x.shape[0], r * r, t.d_model)
+                      for x in levels]
+            tok = jnp.concatenate(tokens, axis=1)        # (B, L*r*r, 256)
         hidden = self.adjust_layer(tok.astype(jnp.float32))
         masks = jnp.ones(hidden.shape[:2], jnp.int32)
         return {"hidden": hidden, "masks": masks,
@@ -682,8 +702,15 @@ class UninextDETR(nn.Module):
         q2g_wide, _ = jax.vmap(simota_match, (0, 0, 0, None))(
             cost_r, iou_r, gt_valid_r, 100)
 
-        key_embeds = self.reid_embed(trans_k["hs"][-1])      # (B, Q, C)
-        ref_embeds = self.reid_embed(trans_r["hs"][-1])
+        shapes_k = tuple((s.shape[1], s.shape[2]) for s in srcs_k)
+        key_embeds = self.compute_reid(
+            trans_k["hs"][-1], trans_k["inter_references"][-1],
+            trans_k["memory"], shapes_k, trans_k["mask_flatten"],
+            trans_k["valid_ratios"])                          # (B, Q, C)
+        ref_embeds = self.compute_reid(
+            trans_r["hs"][-1], trans_r["inter_references"][-1],
+            trans_r["memory"], shapes_k, trans_r["mask_flatten"],
+            trans_r["valid_ratios"])
         G = gt_valid_k.shape[1]
         Q = key_embeds.shape[1]
         g_idx = jnp.arange(G)[None, :, None]                  # (1, G, 1)
@@ -722,6 +749,24 @@ class UninextDETR(nn.Module):
         if self.cfg.use_reid:
             out["pred_embeds"] = self.reid_embed(layer["hs"])
         return out
+
+    def compute_reid(self, hs, refs, memory=None, spatial_shapes=None,
+                     mask_flatten=None, valid_ratios=None):
+        """reid embeddings; optionally through the deformable reid decoder
+        (USE_DEFORMABLE_REID_HEAD) with DETACH_REID semantics."""
+        c = self.cfg
+        x = jax.lax.stop_gradient(hs) if c.detach_reid else hs
+        if c.use_deformable_reid and memory is not None:
+            from .layers import get_sine_pos_embed
+            refs = jax.lax.stop_gradient(refs)
+            for layer in self.reid_dec_layers:
+                ref_input = (refs[:, :, None]
+                             * jnp.concatenate([valid_ratios] * 2, -1)[:, None])
+                qpos = self.reid_ref_point_head(
+                    get_sine_pos_embed(ref_input[:, :, 0, :])).astype(x.dtype)
+                x = layer(x, qpos, ref_input, memory, spatial_shapes,
+                          mask_flatten, None)
+        return self.reid_embed(x)
 
     def predict_masks(self, memory, spatial_shapes, hs_sel, base_ref_sel,
                       image_sizes):

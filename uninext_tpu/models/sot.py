@@ -16,8 +16,9 @@ two interpolation matmuls.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
@@ -64,6 +65,28 @@ def crop_template(images: jnp.ndarray, boxes_xyxy: jnp.ndarray,
         return bilinear_sample(img, gy, gx)
 
     return jax.vmap(one)(images, boxes_xyxy.astype(jnp.float32))
+
+
+class FeatureFuser(nn.Module):
+    """SOT multi-level template fusion (reference ddetrs_vid.py:757-783):
+    3x3 conv per level, aligned-bilinear upsample to the finest level, sum."""
+    channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, levels):
+        from .mask_head import aligned_bilinear
+        out = None
+        H0, W0 = levels[0].shape[1:3]
+        for i, f in enumerate(levels):
+            x = nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
+                        name=f"refine_{i}")(f)
+            if x.shape[1] != H0:
+                factor = H0 // x.shape[1]
+                x = jnp.moveaxis(
+                    aligned_bilinear(jnp.moveaxis(x, -1, 1), factor), 1, -1)
+            out = x if out is None else out + x
+        return out
 
 
 def resize_level(x: jnp.ndarray, out: int) -> jnp.ndarray:
