@@ -37,6 +37,8 @@ class BertTokenizer:
         self.lowercase = lowercase
         self.vocab_size = vocab_size
         self.vocab: Optional[Dict[str, int]] = None
+        if vocab_file is None:
+            vocab_file = os.environ.get("UNINEXT_BERT_VOCAB")
         if vocab_file and os.path.exists(vocab_file):
             with open(vocab_file) as f:
                 self.vocab = {line.rstrip("\n"): i for i, line in enumerate(f)}

@@ -40,17 +40,36 @@ def get_2d_sincos_pos_embed(dim: int, h: int, w: int) -> np.ndarray:
 class Attention(nn.Module):
     dim: int
     num_heads: int
+    use_rel_pos: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        """x: (B, H, W, C) -> same; full attention over the window."""
+        """x: (B, H, W, C) -> same; full attention over the window with
+        ViTDet decomposed relative position bias (backbone/utils.py parity)."""
         B, H, W, C = x.shape
         hd = self.dim // self.num_heads
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, H * W, 3, self.num_heads, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd)
+        if self.use_rel_pos:
+            # decomposed rel-pos: bias[q,k] = q . (Rh[dy] + Rw[dx])
+            rel_h = self.param("rel_pos_h", nn.initializers.zeros,
+                               (2 * H - 1, hd))
+            rel_w = self.param("rel_pos_w", nn.initializers.zeros,
+                               (2 * W - 1, hd))
+            idx_h = (jnp.arange(H)[:, None] - jnp.arange(H)[None, :]) + H - 1
+            idx_w = (jnp.arange(W)[:, None] - jnp.arange(W)[None, :]) + W - 1
+            Rh = rel_h[idx_h].astype(self.dtype)       # (H, H, hd)
+            Rw = rel_w[idx_w].astype(self.dtype)       # (W, W, hd)
+            qg = q.reshape(B, H, W, self.num_heads, hd)
+            bias_h = jnp.einsum("byxhd,yid->bhyxi", qg, Rh)  # (B,h,H,W,H)
+            bias_w = jnp.einsum("byxhd,xjd->bhyxj", qg, Rw)  # (B,h,H,W,W)
+            # ViTDet adds the bias computed from the UNSCALED q
+            bias = (bias_h[..., :, None] + bias_w[..., None, :]).reshape(
+                B, self.num_heads, H * W, H * W)
+            attn = attn + bias
         attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, H, W, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
