@@ -12,9 +12,21 @@ throughput at this resolution (the reference publishes no machine-readable
 number; see BASELINE.md).
 """
 import json
+import os
 import time
 
 import jax
+
+# persistent compile cache: the first bench run pays the ~15 min XLA compile,
+# later runs start in seconds
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 
