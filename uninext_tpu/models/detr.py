@@ -145,7 +145,7 @@ def prepare_dn_static(gt_boxes: jnp.ndarray, gt_valid: jnp.ndarray,
 
 
 def init_all_paths(model: "UninextDETR", rng: jax.Array,
-                   H: int = 64, W: int = 96):
+                   H: int = 192, W: int = 256):
     """Initialize EVERY parameter of the unified model in one pass.
 
     The standard image init misses the SOT/VOS template branch (adjust_layer,

@@ -251,8 +251,12 @@ class UninextTransformer(nn.Module):
         enc_class = enc_class_head(out_memory, lang_pool[:, None])
         enc_coord_unact = (enc_bbox_head(out_memory).astype(jnp.float32)
                            + out_proposals)
-        topk = c.num_queries
-        topk_idx = jax.lax.top_k(enc_class[..., 0], topk)[1]   # (B, Q)
+        # guard tiny inputs: fewer encoder tokens than proposals -> tile
+        topk = min(c.num_queries, enc_class.shape[1])
+        topk_idx = jax.lax.top_k(enc_class[..., 0], topk)[1]   # (B, topk)
+        if topk < c.num_queries:
+            reps = -(-c.num_queries // topk)
+            topk_idx = jnp.tile(topk_idx, (1, reps))[:, :c.num_queries]
         topk_coords_unact = jnp.take_along_axis(
             enc_coord_unact, topk_idx[..., None], axis=1)      # (B, Q, 4)
         reference_points = jax.nn.sigmoid(
