@@ -35,7 +35,7 @@ def test_bert_matches_huggingface():
                         jnp.array(mask))
 
     # convert torch weights (prefixed like the reference text encoder)
-    sd = {f"text_encoder.body.body.{k}": v
+    sd = {f"text_encoder.body.model.{k}": v
           for k, v in torch_model.state_dict().items()}
     tree = {"params": {"bert": jax.tree.map(np.asarray,
                                             params["params"])}}

@@ -45,8 +45,11 @@ def test_convert_lands_values(param_tree):
         rng.randn(3 * d).astype(np.float32)
     sd["detr.detr.transformer.decoder.layers.0.norm1.weight"] = rng.randn(
         d).astype(np.float32)
-    # class embed 0
+    # class embed 0 (per-layer) + a final entry so index detection sees the
+    # real layout where the LAST class_embed is the encoder proposal head
     sd["detr.detr.class_embed.0.log_scale"] = np.array([0.7], np.float32)
+    eb = tree["enc_class_embed"]["body"]["kernel"]
+    sd["detr.detr.class_embed.1.body.weight"] = t_lin(eb)
     # input proj conv 0
     ck = tree["input_proj_0"]["kernel"]          # (kh, kw, in, out)
     sd["detr.detr.input_proj.0.0.weight"] = rng.randn(
@@ -59,7 +62,7 @@ def test_convert_lands_values(param_tree):
         rng.randn(sk.shape[3]).astype(np.float32)
     # bert layer 0 query
     bq = tree["bert"]["layer_0"]["attention"]["query"]["kernel"]
-    sd["text_encoder.body.body.encoder.layer.0.attention.self.query.weight"] \
+    sd["text_encoder.body.model.encoder.layer.0.attention.self.query.weight"] \
         = t_lin(bq)
     # controller layer 0
     cl = tree["controller"]["layer_0"]["kernel"]

@@ -103,9 +103,22 @@ def convert_resnet(sd: Dict, tree: Dict, report: Dict,
         _frozen_bn(sd, base + ".norm", tree, [dst_root, dst_block, bn], report)
 
 
+def _detect_bert_prefix(sd: Dict) -> str:
+    """The real checkpoints store BERT under text_encoder.body.model.
+    (uninext_img.py:138 wraps BertEncoder, whose HF module is `.model`);
+    older synthetic fixtures used .body.body. Detect whichever is present."""
+    probe = "embeddings.word_embeddings.weight"
+    for k in sd:
+        if k.endswith(probe):
+            return k[:-len(probe)]
+    return "text_encoder.body.model."
+
+
 def convert_bert(sd: Dict, tree: Dict, report: Dict,
-                 src_prefix: str = "text_encoder.body.body.",
+                 src_prefix: str = None,
                  dst_root: str = "bert"):
+    if src_prefix is None:
+        src_prefix = _detect_bert_prefix(sd)
     emb = src_prefix + "embeddings."
     for src, dst in (("word_embeddings", "word_embeddings"),
                      ("position_embeddings", "position_embeddings"),
@@ -113,12 +126,12 @@ def convert_bert(sd: Dict, tree: Dict, report: Dict,
         w = sd.get(emb + src + ".weight")
         if w is not None:
             _set(tree, [dst_root, dst, "embedding"], _t(w), report)
-    _dense(sd, emb + "LayerNorm", tree, [dst_root, "embeddings_ln"], report,
-           transpose=False)
-    # LayerNorm: weight->scale
     w = sd.get(emb + "LayerNorm.weight")
+    b = sd.get(emb + "LayerNorm.bias")
     if w is not None:
         _set(tree, [dst_root, "embeddings_ln", "scale"], _t(w), report)
+    if b is not None:
+        _set(tree, [dst_root, "embeddings_ln", "bias"], _t(b), report)
     i = 0
     while f"{src_prefix}encoder.layer.{i}.attention.self.query.weight" in sd:
         lp = f"{src_prefix}encoder.layer.{i}."
@@ -260,7 +273,14 @@ def convert_transformer(sd: Dict, tree: Dict, report: Dict,
 
 
 def convert_heads(sd: Dict, tree: Dict, report: Dict, src: str = "detr.detr.",
-                  dec_layers: int = 6):
+                  dec_layers: int = None):
+    if dec_layers is None:
+        # class_embed has dec_layers+1 entries (the last generates encoder
+        # region proposals, deformable_detr.py:150-174); detect from the sd
+        pat = re.compile(re.escape(src)
+                         + r"(?:class_embed|bbox_embed|iou_head)\.(\d+)\.")
+        idxs = [int(m.group(1)) for k in sd for m in [pat.match(k)] if m]
+        dec_layers = max(idxs) if idxs else 0
     for i in range(dec_layers):
         cp = f"{src}class_embed.{i}"
         d = [f"class_embed_{i}"]
@@ -308,11 +328,39 @@ def convert_checkpoint(state_dict: Dict, params: Dict) -> Tuple[Dict, Dict]:
     full = copy.deepcopy(jax_tree_to_numpy(params))
     tree = full.get("params", full) if isinstance(full, dict) else full
     report = {"loaded": 0, "missing_target": [], "shape_mismatch": []}
-    convert_resnet(state_dict, tree, report)
-    convert_bert(state_dict, tree, report)
-    convert_transformer(state_dict, tree, report)
-    convert_heads(state_dict, tree, report)
-    convert_mask_head(state_dict, tree, report)
+
+    class _RecordingDict(dict):
+        """Tracks which source keys conversion actually consumed so silent
+        coverage gaps (a renamed prefix, a new head) surface in the report."""
+
+        def __init__(self, base):
+            super().__init__(base)
+            self.consumed = set()
+
+        def get(self, key, default=None):
+            if dict.__contains__(self, key):
+                self.consumed.add(key)
+            return dict.get(self, key, default)
+
+        def __getitem__(self, key):
+            self.consumed.add(key)
+            return dict.__getitem__(self, key)
+
+        def __contains__(self, key):
+            found = dict.__contains__(self, key)
+            if found:
+                self.consumed.add(key)
+            return found
+
+    rec = _RecordingDict(state_dict)
+    convert_resnet(rec, tree, report)
+    convert_bert(rec, tree, report)
+    convert_transformer(rec, tree, report)
+    convert_heads(rec, tree, report)
+    convert_mask_head(rec, tree, report)
+    report["unused_source"] = sorted(
+        k for k in rec if k not in rec.consumed
+        and not k.endswith("num_batches_tracked"))
     return full, report
 
 

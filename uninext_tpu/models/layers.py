@@ -95,6 +95,17 @@ class MSDeformAttnModule(nn.Module):
         if value_mask is not None:
             value = jnp.where(value_mask[..., None], 0.0, value)
         value = value.reshape(B, S, M, D)
+        # Under sequence parallelism (sp_encoder) the token axis is sharded
+        # over "model"; every query may sample anywhere, so the gather TABLE
+        # must be whole on each chip. Pin it replicated-over-model here — one
+        # clean all-gather — or XLA's SPMD partitioner lowers the per-level
+        # gathers into a pathological resharding loop.
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is not None and "model" in mesh.axis_names \
+                and mesh.shape.get("model", 1) > 1:
+            from jax.sharding import PartitionSpec as _P
+            value = jax.lax.with_sharding_constraint(
+                value, _P("data", None, None, None))
 
         offsets = nn.Dense(
             M * L * P * 2, dtype=jnp.float32,

@@ -22,8 +22,10 @@ def position_embedding_sine(mask: jnp.ndarray, num_pos_feats: int = 128,
     x_embed = jnp.cumsum(not_mask, axis=2)
     eps = 1e-6
     scale = 2 * math.pi
-    y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
-    x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
+    # the reference shifts by -0.5 before normalizing (pixel centers;
+    # position_encoding.py:46-48)
+    y_embed = (y_embed - 0.5) / (y_embed[:, -1:, :] + eps) * scale
+    x_embed = (x_embed - 0.5) / (x_embed[:, :, -1:] + eps) * scale
 
     dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
     dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)

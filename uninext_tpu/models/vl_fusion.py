@@ -84,4 +84,6 @@ class VLFuse(nn.Module):
                              nn.initializers.constant(init_values), (v_dim,))
         gamma_l = self.param("gamma_l",
                              nn.initializers.constant(init_values), (l_dim,))
-        return visual + gamma_v * dv, lang_hidden + gamma_l * dl
+        # the reference's residual base is the NORMED features, not the
+        # block input: v = LN(v); v = v + gamma*delta (fuse_helper.py:173-178)
+        return v + gamma_v * dv, l + gamma_l * dl

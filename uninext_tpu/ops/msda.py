@@ -123,6 +123,17 @@ def ms_deform_attn(value: jnp.ndarray,
         f"{sum(h * w for h, w in spatial_shapes)}")
     dtype = value.dtype
 
+    # Under sequence parallelism the query axis is sharded over "model"; the
+    # flat p-major gather below puts that axis innermost of a 1-D index
+    # vector, which XLA's SPMD partitioner lowers pathologically (hours-slow
+    # resharding program). Use the dimension-preserving formulation there —
+    # its (B, M, Lq*P) gathers shard cleanly on Lq.
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is not None and "model" in mesh.axis_names \
+            and dict(mesh.shape).get("model", 1) > 1:
+        return ms_deform_attn_unpacked(value, spatial_shapes,
+                                       sampling_locations, attention_weights)
+
     # pad queries so lane-block boundaries in the fold are 128-aligned
     q_align = 128 // math.gcd(B * M, 128)
     Lq_pad = -(-Lq // q_align) * q_align
