@@ -137,6 +137,25 @@ def install_reference_shims():
                 return x / keep * mask
 
         layers.DropPath = DropPath
+
+        class Mlp(nn.Module):
+            """timm Mlp (fc1 -> act -> fc2), as used by reference Block."""
+
+            def __init__(self, in_features, hidden_features=None,
+                         out_features=None, act_layer=nn.GELU, drop=0.0,
+                         **kw):
+                super().__init__()
+                out_features = out_features or in_features
+                hidden_features = hidden_features or in_features
+                self.fc1 = nn.Linear(in_features, hidden_features)
+                self.act = act_layer()
+                self.fc2 = nn.Linear(hidden_features, out_features)
+                self.drop = nn.Dropout(drop)
+
+            def forward(self, x):
+                return self.drop(self.fc2(self.drop(self.act(self.fc1(x)))))
+
+        layers.Mlp = Mlp
         models.layers = layers
         timm.models = models
         sys.modules["timm"] = timm
@@ -392,8 +411,21 @@ def install_detectron2_shim():
     resnet_mod = _load_file("detectron2.modeling.backbone.resnet",
                             f"{REF}/modeling/backbone/resnet.py")
     mb_pkg.resnet = resnet_mod
+    fpn_mod = new_mod("detectron2.modeling.backbone.fpn")
+
+    def _assert_strides_are_log2_contiguous(strides):
+        for i, stride in enumerate(strides[1:], 1):
+            assert stride == 2 * strides[i - 1], \
+                "Strides {} {} are not log2 contiguous".format(
+                    stride, strides[i - 1])
+
+    fpn_mod._assert_strides_are_log2_contiguous = \
+        _assert_strides_are_log2_contiguous
+    mb_pkg.fpn = fpn_mod
     modeling.backbone = mb_pkg
     modeling.BACKBONE_REGISTRY = build_mod.BACKBONE_REGISTRY
+    modeling.Backbone = backbone_mod.Backbone
+    modeling.ShapeSpec = shape_spec.ShapeSpec
     d2.modeling = modeling
     return d2
 

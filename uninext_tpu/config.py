@@ -25,8 +25,16 @@ class BackboneConfig:
     vit_embed_dim: int = 1280
     vit_depth: int = 32
     vit_num_heads: int = 16
-    vit_window_size: int = 16
-    vit_global_blocks: Tuple[int, ...] = (7, 15, 23, 31)
+    vit_window_size: int = 14
+    # None = the reference D2ViT ViT-huge layout (windowed blocks
+    # {0,1,3,4,6,7,9,10}, all others global; backbone/vit.py:411-421).
+    # Supply an explicit tuple of GLOBAL block indices to override (e.g.
+    # ViTDet-H's (7, 15, 23, 31) for a cheaper from-scratch layout).
+    vit_global_blocks: Optional[Tuple[int, ...]] = None
+    vit_drop_path_rate: float = 0.5     # MODEL.VIT drop_path_rate (ViT-huge)
+    # q-row chunk for global-block attention (lax.map over row blocks keeps
+    # the (Lq, Lk) logits buffer bounded at high resolution); 0 = off
+    vit_global_q_rows: int = 8
     # ConvNeXt specifics
     convnext_depths: Tuple[int, ...] = (3, 3, 27, 3)
     convnext_dims: Tuple[int, ...] = (192, 384, 768, 1536)

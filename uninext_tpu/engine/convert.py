@@ -103,6 +103,84 @@ def convert_resnet(sd: Dict, tree: Dict, report: Dict,
         _frozen_bn(sd, base + ".norm", tree, [dst_root, dst_block, bn], report)
 
 
+def convert_vit(sd: Dict, tree: Dict, report: Dict,
+                src_prefix: str = "detr.detr.backbone.0.backbone.",
+                dst_root: str = "backbone"):
+    """Reference D2ViT (backbone/vit.py:233-432) state_dict -> our ViT tree:
+    patch_embed.proj, pos_embed (pretrain 224+cls), per-block
+    norm1/norm2/attn.{qkv,proj,rel_pos_h,rel_pos_w}/mlp.{fc1,fc2}, and the
+    fpn1 deconv (ConvTranspose2d (in,out,kh,kw) -> flax (kh,kw,in,out))."""
+    if src_prefix + "patch_embed.proj.weight" not in sd:
+        return
+    _conv(sd, src_prefix + "patch_embed.proj", tree,
+          [dst_root, "patch_embed"], report)
+    pos = sd.get(src_prefix + "pos_embed")
+    if pos is not None:
+        _set(tree, [dst_root, "pos_embed"], _t(pos), report)
+    i = 0
+    while f"{src_prefix}blocks.{i}.norm1.weight" in sd:
+        bp = f"{src_prefix}blocks.{i}."
+        d = [dst_root, f"block_{i}"]
+        _ln(sd, bp + "norm1", tree, d + ["norm1"], report)
+        _ln(sd, bp + "norm2", tree, d + ["norm2"], report)
+        _dense(sd, bp + "attn.qkv", tree, d + ["attn", "qkv"], report)
+        _dense(sd, bp + "attn.proj", tree, d + ["attn", "proj"], report)
+        for rp in ("rel_pos_h", "rel_pos_w"):
+            v = sd.get(bp + "attn." + rp)
+            if v is not None:
+                _set(tree, d + ["attn", rp], _t(v), report)
+        _dense(sd, bp + "mlp.fc1", tree, d + ["mlp1"], report)
+        _dense(sd, bp + "mlp.fc2", tree, d + ["mlp2"], report)
+        i += 1
+    # fpn1.0 ConvTranspose2d (in, out, kh, kw): output[2i+di, 2j+dj] =
+    # x[i,j] . w[:, :, di, dj] -> our depth-to-space Dense (in, kh*kw*out)
+    w = sd.get(src_prefix + "fpn1.0.weight")
+    if w is not None:
+        w = _t(w)                                  # (in, out, 2, 2)
+        w = w.transpose(0, 2, 3, 1)                # (in, di, dj, out)
+        _set(tree, [dst_root, "up_res3", "kernel"],
+             w.reshape(w.shape[0], -1), report)
+    b = sd.get(src_prefix + "fpn1.0.bias")
+    if b is not None:
+        _set(tree, [dst_root, "up_res3", "bias"], np.tile(_t(b), 4), report)
+
+
+def convert_convnext(sd: Dict, tree: Dict, report: Dict,
+                     src_prefix: str = "detr.detr.backbone.0.backbone.",
+                     dst_root: str = "backbone"):
+    """Reference ConvNeXt (backbone/convnext.py:60-150) -> our tree:
+    downsample_layers.0.{0,1} stem conv+norm; downsample_layers.i.{0,1}
+    norm+conv (i>=1); stages.i.j.{dwconv,norm,pwconv1,pwconv2,gamma};
+    out norms norm{i} -> out_norm_res{i+2}. gamma is stored as an
+    nn.Embedding(1, dim) weight (convnext.py:37) -> our (dim,) param."""
+    if src_prefix + "downsample_layers.0.0.weight" not in sd:
+        return
+    _conv(sd, src_prefix + "downsample_layers.0.0", tree,
+          [dst_root, "stem_conv"], report)
+    _ln(sd, src_prefix + "downsample_layers.0.1", tree,
+        [dst_root, "stem_norm"], report)
+    for i in range(1, 4):
+        _ln(sd, f"{src_prefix}downsample_layers.{i}.0", tree,
+            [dst_root, f"down_norm_{i}"], report)
+        _conv(sd, f"{src_prefix}downsample_layers.{i}.1", tree,
+              [dst_root, f"down_conv_{i}"], report)
+    for i in range(4):
+        j = 0
+        while f"{src_prefix}stages.{i}.{j}.dwconv.weight" in sd:
+            bp = f"{src_prefix}stages.{i}.{j}."
+            d = [dst_root, f"stage{i}_block{j}"]
+            _conv(sd, bp + "dwconv", tree, d + ["dwconv"], report)
+            _ln(sd, bp + "norm", tree, d + ["norm"], report)
+            _dense(sd, bp + "pwconv1", tree, d + ["pwconv1"], report)
+            _dense(sd, bp + "pwconv2", tree, d + ["pwconv2"], report)
+            g = sd.get(bp + "gamma.weight")
+            if g is not None:
+                _set(tree, d + ["gamma"], _t(g).reshape(-1), report)
+            j += 1
+        _ln(sd, f"{src_prefix}norm{i}", tree,
+            [dst_root, f"out_norm_res{i + 2}"], report)
+
+
 def _detect_bert_prefix(sd: Dict) -> str:
     """The real checkpoints store BERT under text_encoder.body.model.
     (uninext_img.py:138 wraps BertEncoder, whose HF module is `.model`);
@@ -354,6 +432,8 @@ def convert_checkpoint(state_dict: Dict, params: Dict) -> Tuple[Dict, Dict]:
 
     rec = _RecordingDict(state_dict)
     convert_resnet(rec, tree, report)
+    convert_vit(rec, tree, report)
+    convert_convnext(rec, tree, report)
     convert_bert(rec, tree, report)
     convert_transformer(rec, tree, report)
     convert_heads(rec, tree, report)

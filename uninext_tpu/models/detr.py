@@ -210,6 +210,8 @@ class UninextDETR(nn.Module):
                 num_heads=c.backbone.vit_num_heads,
                 window_size=c.backbone.vit_window_size,
                 global_blocks=c.backbone.vit_global_blocks,
+                drop_path_rate=c.backbone.vit_drop_path_rate,
+                global_q_chunk_rows=c.backbone.vit_global_q_rows,
                 in_channels=c.backbone.in_channels,
                 dtype=dtype, name="backbone")
         else:
@@ -298,7 +300,8 @@ class UninextDETR(nn.Module):
         if c.sot.extra_backbone_for_template and template_images.shape[-1] == 4:
             feats = self.template_backbone(template_images)
         else:
-            feats = self.backbone(template_images)
+            feats = self._backbone_feats(self.backbone, template_images,
+                                         train=False)
         level_feats = [feats[f"res{i+3}"]
                        for i in range(len(c.backbone.out_channels))]
         levels = []
@@ -332,11 +335,18 @@ class UninextDETR(nn.Module):
             out = jax.tree.map(jax.lax.stop_gradient, out)
         return out
 
-    def encode_image(self, images, img_mask):
+    def _backbone_feats(self, bb, images, train: bool):
+        """Run a backbone; ConvNeXt/ViT take a deterministic flag (drop-path
+        active only in training), frozen-BN ResNet does not."""
+        if self.cfg.backbone.name == "resnet50":
+            return bb(images)
+        return bb(images, deterministic=not train)
+
+    def encode_image(self, images, img_mask, train: bool = False):
         """images: (B, H, W, 3) normalized; img_mask: (B, H, W) True=pad."""
         c = self.cfg
         t = c.transformer
-        feats = self.backbone(images)
+        feats = self._backbone_feats(self.backbone, images, train)
         level_feats = [feats[f"res{i+3}"] for i in range(len(c.backbone.out_channels))]
         srcs, masks, poses = [], [], []
         for i in range(t.num_feature_levels):
@@ -408,7 +418,7 @@ class UninextDETR(nn.Module):
         # "template tokens as language", ddetrs_vid.py:503)
         lang = lang_dict if lang_dict is not None else self.encode_text(
             text_ids, text_mask)
-        srcs, masks, poses = self.encode_image(images, img_mask)
+        srcs, masks, poses = self.encode_image(images, img_mask, train=train)
         spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
 
         # DINO denoising queries (training only)
@@ -638,7 +648,7 @@ class UninextDETR(nn.Module):
         # one backbone pass over the 2B clip (bigger batch -> better MXU use)
         images = jnp.concatenate([images_key, images_ref], 0)
         masks2 = jnp.concatenate([img_mask, img_mask], 0)
-        srcs, masks, poses = self.encode_image(images, masks2)
+        srcs, masks, poses = self.encode_image(images, masks2, train=True)
         split = lambda xs: ([x[:B] for x in xs], [x[B:] for x in xs])
         srcs_k, srcs_r = split(srcs)
         masks_k, masks_r = split(masks)

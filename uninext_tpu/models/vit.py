@@ -1,19 +1,29 @@
 """Plain ViT backbone with windowed attention (ViTDet-style), NHWC.
 
-Capability parity: reference uninext/backbone/vit.py:233-432 (ViT/D2ViT):
-patch embed 16x16, per-block window attention with a few global blocks,
-2D-interpolated absolute position embeddings, simple multi-stride heads
-(res3 = 2x deconv of the final map, res4 = 1x, res5 = maxpool /2).
+Capability parity: reference uninext/backbone/vit.py:233-432 (ViT/D2ViT) and
+backbone/utils.py (get_abs_pos / get_rel_pos / add_decomposed_rel_pos):
+patch embed 16x16, learned absolute position embeddings stored at the
+pretrain resolution (224, with a cls token slot) and bicubically resized to
+the runtime grid, per-block window attention with decomposed relative
+position biases whose (2S-1, hd) tables are linearly resized to the runtime
+2*max(H,W)-1 span, stochastic depth (linspace 0..rate over depth), and
+simple multi-stride heads (res3 = 2x deconv of the final map, res4 = 1x,
+res5 = maxpool /2). The reference's ViT-huge layout (D2ViT, vit.py:379-425)
+windows blocks {0,1,3,4,6,7,9,10} at window 14 and runs every other block
+global — config.py mirrors that layout for checkpoint parity.
 
-TPU notes: window partitioning is pure reshape/transpose (no padding needed
-when the bucketed input is divisible by patch*window); attention runs in
-bf16 with fp32 softmax; relative-position biases use the decomposed ViTDet
-form. This backbone is the natural TP candidate (heads/FFN sharding over the
-'model' mesh axis) — hooks are in parallel/mesh.py.
+TPU notes: all interpolations happen at trace time on static shapes, so a
+single checkpoint serves every resolution bucket as its own cached
+executable. Global-block attention can be q-chunked (`global_q_rows`) into
+a lax.scan — exact softmax per chunk, bounds the (Lq, Lk) logits buffer so
+1536px-class inputs fit HBM. Attention runs in the module dtype (bf16 on
+TPU) with fp32 softmax. This backbone is the natural TP candidate
+(heads/FFN sharding over the 'model' mesh axis) — hooks in parallel/mesh.py.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from functools import partial
+from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -21,8 +31,67 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def torch_bicubic_resize_2d(x: jnp.ndarray, out_h: int, out_w: int
+                            ) -> jnp.ndarray:
+    """Bicubic resize of (H, W, C) matching torch F.interpolate(mode=
+    'bicubic', align_corners=False): Keys kernel a=-0.75, half-pixel
+    centers, edge-clamped taps. jax.image.resize uses a=-0.5, so the
+    reference's get_abs_pos needs this exact variant."""
+    a = -0.75
+
+    def cubic(t):
+        t = jnp.abs(t)
+        return jnp.where(
+            t <= 1.0, ((a + 2) * t - (a + 3)) * t * t + 1,
+            jnp.where(t < 2.0, (((t - 5) * t + 8) * t - 4) * a, 0.0))
+
+    def axis_weights(in_size, out_size):
+        # positions of output sample centers in input coordinates
+        pos = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) \
+            * (in_size / out_size) - 0.5
+        base = jnp.floor(pos).astype(jnp.int32)
+        frac = pos - base
+        taps = jnp.stack([base - 1, base, base + 1, base + 2], 1)  # (out, 4)
+        w = cubic(frac[:, None] - (taps - base[:, None]))          # (out, 4)
+        taps = jnp.clip(taps, 0, in_size - 1)
+        return taps, w
+
+    th, wh = axis_weights(x.shape[0], out_h)
+    tw, ww = axis_weights(x.shape[1], out_w)
+    x = jnp.einsum("ot,otwc->owc", wh, x[th])      # rows: (out_h, W, C)
+    x = jnp.einsum("ot,hotc->hoc", ww, x[:, tw])   # cols: (out_h, out_w, C)
+    return x
+
+
+def interp_abs_pos(pos_embed: jnp.ndarray, has_cls: bool, h: int, w: int
+                   ) -> jnp.ndarray:
+    """Reference get_abs_pos (backbone/utils.py:132-160): strip the cls
+    token, reshape square, bicubic to (h, w)."""
+    if has_cls:
+        pos_embed = pos_embed[:, 1:]
+    n = pos_embed.shape[1]
+    s = int(round(float(np.sqrt(n))))
+    grid = pos_embed.reshape(s, s, -1)
+    if (s, s) != (h, w):
+        grid = torch_bicubic_resize_2d(grid.astype(jnp.float32), h, w)
+    return grid.reshape(1, h, w, -1)
+
+
+def interp_rel_pos(rel_pos: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Reference get_rel_pos (backbone/utils.py:63-94) for the q_size ==
+    k_size self-attention case: linearly resize the (L, hd) table to
+    (2*size-1, hd). F.interpolate(mode='linear', align_corners=False) ==
+    jax.image.resize(method='linear') (both half-pixel centers)."""
+    max_rel = 2 * size - 1
+    if rel_pos.shape[0] == max_rel:
+        return rel_pos
+    return jax.image.resize(rel_pos.astype(jnp.float32),
+                            (max_rel, rel_pos.shape[1]), method="linear")
+
+
 def get_2d_sincos_pos_embed(dim: int, h: int, w: int) -> np.ndarray:
-    """Standard 2D sin-cos embedding (backbone/pos_embed.py parity)."""
+    """Standard 2D sin-cos embedding (backbone/pos_embed.py parity); used
+    when use_abs_pos=False (from-scratch training without MAE weights)."""
     gh = np.arange(h, dtype=np.float32)
     gw = np.arange(w, dtype=np.float32)
     gw, gh = np.meshgrid(gw, gh)
@@ -37,41 +106,79 @@ def get_2d_sincos_pos_embed(dim: int, h: int, w: int) -> np.ndarray:
                           axis=1).reshape(h, w, dim)
 
 
+def drop_path(x: jnp.ndarray, rate: float, deterministic: bool,
+              rng_fn) -> jnp.ndarray:
+    """Per-sample stochastic depth (reference timm DropPath, vit.py:195)."""
+    if rate <= 0.0 or deterministic:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng_fn("droppath"), keep,
+                                (x.shape[0],) + (1,) * (x.ndim - 1))
+    return x * mask.astype(x.dtype) / keep
+
+
 class Attention(nn.Module):
+    """Full attention over a (H, W) grid with ViTDet decomposed relative
+    position bias. `rel_pos_size` is the canonical table span the params
+    are stored at (the checkpoint's); runtime sizes interpolate.
+    `q_chunk_rows > 0` scans over query-row blocks so the (Lq, Lk) logits
+    never materialize at full size (exact softmax — full k per chunk)."""
     dim: int
     num_heads: int
     use_rel_pos: bool = True
+    rel_pos_size: int = 14
+    q_chunk_rows: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        """x: (B, H, W, C) -> same; full attention over the window with
-        ViTDet decomposed relative position bias (backbone/utils.py parity)."""
         B, H, W, C = x.shape
         hd = self.dim // self.num_heads
+        nh = self.num_heads
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, H * W, 3, self.num_heads, hd)
+        qkv = qkv.reshape(B, H * W, 3, nh, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd)
+        scale = 1.0 / np.sqrt(hd)
+
+        Rh = Rw = None
         if self.use_rel_pos:
-            # decomposed rel-pos: bias[q,k] = q . (Rh[dy] + Rw[dx])
             rel_h = self.param("rel_pos_h", nn.initializers.zeros,
-                               (2 * H - 1, hd))
+                               (2 * self.rel_pos_size - 1, hd))
             rel_w = self.param("rel_pos_w", nn.initializers.zeros,
-                               (2 * W - 1, hd))
+                               (2 * self.rel_pos_size - 1, hd))
             idx_h = (jnp.arange(H)[:, None] - jnp.arange(H)[None, :]) + H - 1
             idx_w = (jnp.arange(W)[:, None] - jnp.arange(W)[None, :]) + W - 1
-            Rh = rel_h[idx_h].astype(self.dtype)       # (H, H, hd)
-            Rw = rel_w[idx_w].astype(self.dtype)       # (W, W, hd)
-            qg = q.reshape(B, H, W, self.num_heads, hd)
-            bias_h = jnp.einsum("byxhd,yid->bhyxi", qg, Rh)  # (B,h,H,W,H)
-            bias_w = jnp.einsum("byxhd,xjd->bhyxj", qg, Rw)  # (B,h,H,W,W)
-            # ViTDet adds the bias computed from the UNSCALED q
-            bias = (bias_h[..., :, None] + bias_w[..., None, :]).reshape(
-                B, self.num_heads, H * W, H * W)
-            attn = attn + bias
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, H, W, self.dim)
+            Rh = interp_rel_pos(rel_h, H)[idx_h].astype(self.dtype)  # (H,H,hd)
+            Rw = interp_rel_pos(rel_w, W)[idx_w].astype(self.dtype)  # (W,W,hd)
+
+        def attend(qc, Rhc):
+            """qc: (B, hc, W, nh, hd) query rows; Rhc: (hc, H, hd)."""
+            hc = qc.shape[1]
+            attn = jnp.einsum("byxhd,bkhd->bhyxk", qc * scale, k)
+            attn = attn.reshape(B, nh, hc, W, H, W)
+            if Rhc is not None:
+                # ViTDet adds the bias computed from the UNSCALED q
+                bh = jnp.einsum("byxhd,yid->bhyxi", qc, Rhc)
+                bw = jnp.einsum("byxhd,xjd->bhyxj", qc, Rw)
+                attn = attn + bh[..., :, None] + bw[..., None, :]
+            attn = attn.reshape(B, nh, hc * W, H * W)
+            attn = nn.softmax(attn.astype(jnp.float32), -1).astype(self.dtype)
+            return jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(
+                B, hc, W, self.dim)
+
+        qg = q.reshape(B, H, W, nh, hd)
+        cr = self.q_chunk_rows
+        if cr and H > cr and H % cr == 0:
+            qs = qg.reshape(B, H // cr, cr, W, nh, hd).transpose(
+                1, 0, 2, 3, 4, 5)
+            Rhs = (Rh.reshape(H // cr, cr, H, hd) if Rh is not None
+                   else None)
+            out = jax.lax.map(lambda args: attend(*args), (qs, Rhs)) \
+                if Rh is not None else jax.lax.map(
+                    lambda qq: attend(qq, None), qs)
+            out = out.transpose(1, 0, 2, 3, 4).reshape(B, H, W, self.dim)
+        else:
+            out = attend(qg, Rh)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
@@ -79,13 +186,16 @@ class ViTBlock(nn.Module):
     dim: int
     num_heads: int
     window_size: int   # 0 = global
+    rel_pos_size: int = 14
+    drop_path_rate: float = 0.0
+    q_chunk_rows: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         B, H, W, C = x.shape
         shortcut = x
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         ws = self.window_size
         if ws > 0:
             ph = (ws - H % ws) % ws
@@ -95,53 +205,96 @@ class ViTBlock(nn.Module):
             Hp, Wp = H + ph, W + pw
             x = x.reshape(B, Hp // ws, ws, Wp // ws, ws, C)
             x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, C)
-        x = Attention(self.dim, self.num_heads, dtype=self.dtype,
-                      name="attn")(x)
+        x = Attention(self.dim, self.num_heads,
+                      rel_pos_size=self.rel_pos_size,
+                      q_chunk_rows=0 if ws > 0 else self.q_chunk_rows,
+                      dtype=self.dtype, name="attn")(x)
         if ws > 0:
             x = x.reshape(B, Hp // ws, Wp // ws, ws, ws, C)
             x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
             x = x[:, :H, :W]
-        x = shortcut + x
-        y = nn.LayerNorm(name="norm2")(x)
+        x = shortcut + drop_path(x, self.drop_path_rate, deterministic,
+                                 self.make_rng)
+        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         y = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp2")(y)
-        return x + y
+        return x + drop_path(y, self.drop_path_rate, deterministic,
+                             self.make_rng)
 
 
 class ViT(nn.Module):
-    """ViT-Huge default (reference D2ViT 'ViT-Huge')."""
+    """ViT-Huge default, matching the reference D2ViT 'ViT-huge' layout
+    (vit.py:379-425): window 14, windowed blocks {0,1,3,4,6,7,9,10}, the
+    remaining 24 blocks global; drop-path 0.5; rel-pos tables stored at the
+    img_size=1024 init span for global blocks (2*64-1) and the window span
+    (2*14-1) for windowed ones; learned abs pos embed at pretrain 224+cls."""
     patch_size: int = 16
     embed_dim: int = 1280
     depth: int = 32
     num_heads: int = 16
-    window_size: int = 16
-    global_blocks: Sequence[int] = (7, 15, 23, 31)
+    window_size: int = 14
+    global_blocks: Optional[Sequence[int]] = None   # None = reference layout
+    drop_path_rate: float = 0.5
+    use_abs_pos: bool = True
+    pretrain_img_size: int = 224
+    pretrain_use_cls_token: bool = True
+    rel_pos_init_size: int = 64          # img_size 1024 // patch 16
+    global_q_chunk_rows: int = 8         # 0 disables q-chunked global attn
     in_channels: int = 3
     out_features: Sequence[str] = ("res3", "res4", "res5")
     dtype: Any = jnp.float32
 
+    # reference D2ViT window_block_indexes (vit.py:411-421)
+    REF_WINDOW_BLOCKS = (0, 1, 3, 4, 6, 7, 9, 10)
+
+    def _is_global(self, i: int) -> bool:
+        if self.global_blocks is not None:
+            return i in self.global_blocks
+        return i not in self.REF_WINDOW_BLOCKS
+
     @nn.compact
-    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+    def __call__(self, x, deterministic: bool = True
+                 ) -> Dict[str, jnp.ndarray]:
         x = x.astype(self.dtype)
         x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
                     strides=(self.patch_size, self.patch_size),
                     dtype=self.dtype, name="patch_embed")(x)
         B, H, W, C = x.shape
-        pos = jnp.asarray(get_2d_sincos_pos_embed(C, H, W), self.dtype)
-        x = x + pos[None]
+        if self.use_abs_pos:
+            n = self.pretrain_img_size // self.patch_size
+            pos_embed = self.param(
+                "pos_embed",
+                nn.initializers.truncated_normal(0.02),
+                (1, n * n + (1 if self.pretrain_use_cls_token else 0), C))
+            x = x + interp_abs_pos(pos_embed, self.pretrain_use_cls_token,
+                                   H, W).astype(self.dtype)
+        else:
+            x = x + jnp.asarray(get_2d_sincos_pos_embed(C, H, W),
+                                self.dtype)[None]
+        dpr = np.linspace(0, self.drop_path_rate, self.depth)
         for i in range(self.depth):
-            ws = 0 if i in self.global_blocks else self.window_size
-            x = ViTBlock(self.embed_dim, self.num_heads, ws,
-                         dtype=self.dtype, name=f"block_{i}")(x)
-        x = nn.LayerNorm(name="norm")(x)
+            is_global = self._is_global(i)
+            x = ViTBlock(self.embed_dim, self.num_heads,
+                         0 if is_global else self.window_size,
+                         rel_pos_size=(self.rel_pos_init_size if is_global
+                                       else self.window_size),
+                         drop_path_rate=float(dpr[i]),
+                         q_chunk_rows=self.global_q_chunk_rows,
+                         dtype=self.dtype, name=f"block_{i}")(
+                             x, deterministic)
 
         outs = {}
         # simple multi-scale heads (ViTDet): res3 = 2x up, res4 = 1x, res5 = /2
         if "res3" in self.out_features:
-            up = nn.ConvTranspose(self.embed_dim // 2, (2, 2), strides=(2, 2),
-                                  dtype=self.dtype, name="up_res3")(x)
-            outs["res3"] = up
+            # 2x2-stride-2 deconv as matmul + depth-to-space: each output
+            # subpixel (di, dj) is a 1x1 conv — one MXU matmul instead of a
+            # conv_transpose, and an unambiguous layout for conversion
+            # (kernel (in, di, dj, out) flattened to (in, 4*out)).
+            cout = self.embed_dim // 2
+            y = nn.Dense(4 * cout, dtype=self.dtype, name="up_res3")(x)
+            y = y.reshape(B, H, W, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
+            outs["res3"] = y.reshape(B, 2 * H, 2 * W, cout)
         if "res4" in self.out_features:
             outs["res4"] = x
         if "res5" in self.out_features:
