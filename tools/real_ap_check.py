@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""End-to-end AP on a real-format COCO dataset: files -> train -> mAP.
+
+The north-star metric is "FPS at AP parity", and until now no AP number had
+ever been produced from files on disk. This tool closes the loop with the
+full production path on a generated-but-genuine COCO dataset
+(uninext_tpu/data/mini_coco.py):
+
+  real JPEGs + instances json -> load_coco_json -> UniDatasetMapper
+  -> MultiDatasetLoader -> Trainer (jitted train step, checkpoints)
+  -> DetectionEvaluator (bbox + segm, C++ cocoeval core) -> AP
+  -> APRESULT.json at the repo root (picked up by bench.py's aggregate).
+
+Sandbox note: no real COCO/zoo checkpoint exists here (zero egress), so the
+AP is measured on mini-coco val after a short overfit run — it proves the
+entire pipeline (decode, aug, prompts, matching, losses, optimizer,
+serving, NMS, RLE/polygon handling, cocoeval) end-to-end with a nonzero,
+meaningful score. Reference anchor for the loop being mirrored:
+detectron2/evaluation/coco_evaluation.py:407 + tools/train_net.py.
+
+Usage: python tools/real_ap_check.py [--steps 400] [--device cpu|tpu]
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_cfg(steps: int):
+    from uninext_tpu.config import tiny_test_config
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, max_insts=8, max_text_len=32,
+            min_size_train=(224,), max_size_train=352,
+            min_size_test=224, max_size_test=352),
+        solver=dataclasses.replace(
+            cfg.solver, base_lr=3e-4, lang_lr=3e-4, vl_lr=3e-4,
+            backbone_multiplier=1.0, warmup_iters=40, grad_clip=1.0,
+            max_iter=steps, checkpoint_period=10 ** 9,
+            steps=(int(steps * 0.8),)),
+    )
+    return cfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--out", default=os.path.join(REPO, "APRESULT.json"))
+    ap.add_argument("--data-root", default=None)
+    args = ap.parse_args()
+
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import numpy as np
+
+    from uninext_tpu.data.coco import UniDatasetMapper, load_coco_json
+    from uninext_tpu.data.loader import MultiDatasetLoader
+    from uninext_tpu.data.mini_coco import make_mini_coco
+    from uninext_tpu.data.prompts import create_label_token_map
+    from uninext_tpu.data.tokenizer import BertTokenizer
+    from uninext_tpu.engine.evaluator import DetectionEvaluator
+    from uninext_tpu.engine.trainer import Trainer
+
+    root = args.data_root or tempfile.mkdtemp(prefix="mini_coco_")
+    paths = make_mini_coco(root)
+    print(f"[data] mini-coco at {root}")
+
+    cfg = build_cfg(args.steps)
+    train_recs, cats = load_coco_json(paths["train_json"],
+                                      paths["train_root"])
+    val_recs, _ = load_coco_json(paths["val_json"], paths["val_root"])
+    tok = BertTokenizer()
+    # LSJ into one fixed square canvas -> ONE compiled train bucket (the
+    # multi-aspect shortest-edge buckets would each pay a CPU compile here)
+    train_mapper = UniDatasetMapper(cfg.data, cats, tok, is_train=True,
+                                    with_masks=True, lsj=True, lsj_size=224,
+                                    lsj_min_scale=0.6, lsj_max_scale=1.4)
+    loader = MultiDatasetLoader([(train_recs, train_mapper, 2)], [1.0],
+                                seed=0, num_workers=2)
+
+    out_dir = tempfile.mkdtemp(prefix="ap_check_out_")
+    t0 = time.time()
+    trainer = Trainer(cfg, iter(loader), output_dir=out_dir,
+                      task="detection", has_masks=True, use_mesh=False,
+                      log_period=50)
+    trainer.train()
+    train_s = time.time() - t0
+    print(f"[train] {args.steps} steps in {train_s:.0f}s")
+
+    eval_mapper = UniDatasetMapper(cfg.data, cats, tok, is_train=False,
+                                   with_masks=True)
+    _, _, cmap = create_label_token_map(cats, tok, cfg.data.max_text_len)
+    results = {}
+    for iou_type, with_masks in (("bbox", False), ("segm", True)):
+        ev = DetectionEvaluator(trainer.model, cfg, cmap,
+                                with_masks=with_masks)
+        res = ev.evaluate(trainer.state.params, val_recs, eval_mapper,
+                          score_thr=0.05)
+        results[iou_type] = {k: (None if not np.isfinite(v) else round(
+            float(v), 4)) for k, v in res.items()}
+        print(f"[eval] {iou_type}: {results[iou_type]}")
+
+    payload = {
+        "coco_det_ap": results["bbox"]["AP"],
+        "coco_det_ap50": results["bbox"]["AP50"],
+        "coco_segm_ap": results["segm"]["AP"],
+        "dataset": "mini-coco (real-format generated; no real COCO in "
+                   "sandbox)",
+        "n_train": len(train_recs), "n_val": len(val_recs),
+        "steps": args.steps, "train_seconds": round(train_s, 1),
+        "pipeline": "jpeg->mapper->loader->Trainer->DetectionEvaluator"
+                    "(C++ cocoeval)",
+    }
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"[done] wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

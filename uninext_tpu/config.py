@@ -160,6 +160,11 @@ class TrackConfig:
     init_score_thr: float = 0.5
     obj_score_thr: float = 0.3
     inference_select_thr: float = 0.1
+    # IDOL (VIS) tracker gates (reference MODEL.IDOL.*, uninext/config.py)
+    idol_init_score_thr: float = 0.2
+    idol_addnew_score_thr: float = 0.5
+    idol_obj_score_thr: float = 0.1
+    idol_match_score_thr: float = 0.5
     apply_cls_thr: float = 0.05
     temporal_score_type: str = "mean"
     memory_len: int = 3

@@ -1,0 +1,111 @@
+"""Mini COCO-format dataset generator: real JPEGs + real instances json.
+
+No real dataset ships in this sandbox (zero egress), so end-to-end
+data-pipeline/AP proofs use this generator: it writes genuine COCO
+`instances_*.json` files (images / annotations with bbox + polygon
+segmentation + area + iscrowd / categories, non-contiguous category ids
+like the real thing) and real JPEG files, with visually learnable
+categories (colored geometric shapes on textured backgrounds). Everything
+downstream — PIL decode, mapper resize/normalize, prompts, training,
+COCO evaluation — runs exactly the path real COCO data would.
+
+Reference anchor: datasets/coco layout expected by
+detectron2/data/datasets/coco.py:load_coco_json.
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+from PIL import Image, ImageDraw
+
+CATEGORIES = [
+    {"id": 1, "name": "red square", "supercategory": "shape"},
+    {"id": 3, "name": "green disk", "supercategory": "shape"},
+    {"id": 7, "name": "blue triangle", "supercategory": "shape"},
+]
+
+
+def _polygon(cat: str, cx: float, cy: float, r: float,
+             rng: np.random.RandomState) -> List[float]:
+    if cat == "red square":
+        pts = [(cx - r, cy - r), (cx + r, cy - r),
+               (cx + r, cy + r), (cx - r, cy + r)]
+    elif cat == "green disk":
+        pts = [(cx + r * math.cos(2 * math.pi * k / 16),
+                cy + r * math.sin(2 * math.pi * k / 16)) for k in range(16)]
+    else:  # blue triangle
+        a0 = rng.uniform(0, 2 * math.pi)
+        pts = [(cx + r * math.cos(a0 + 2 * math.pi * k / 3),
+                cy + r * math.sin(a0 + 2 * math.pi * k / 3))
+               for k in range(3)]
+    return [float(v) for p in pts for v in p]
+
+
+_COLORS = {"red square": (210, 40, 35), "green disk": (40, 180, 60),
+           "blue triangle": (45, 70, 220)}
+
+
+def make_mini_coco(root: str, n_train: int = 32, n_val: int = 12,
+                   seed: int = 0, img_size: Tuple[int, int] = (280, 360),
+                   max_objects: int = 3) -> Dict[str, str]:
+    """Writes root/{train,val}/*.jpg + root/instances_{train,val}.json.
+    Returns {"train_json": ..., "val_json": ..., "train_root": ...,
+    "val_root": ...}."""
+    rng = np.random.RandomState(seed)
+    out = {}
+    for split, n in (("train", n_train), ("val", n_val)):
+        img_dir = os.path.join(root, split)
+        os.makedirs(img_dir, exist_ok=True)
+        images, annotations = [], []
+        aid = 1
+        for i in range(n):
+            h = int(rng.randint(img_size[0] - 40, img_size[0] + 40))
+            w = int(rng.randint(img_size[1] - 40, img_size[1] + 40))
+            # textured background (noise + gradient) so nothing is trivially
+            # segmentable by a constant-color rule
+            yy, xx = np.mgrid[0:h, 0:w]
+            bg = (90 + 40 * np.sin(xx / 37.0) + 30 * np.cos(yy / 23.0)
+                  + rng.randn(h, w) * 12)
+            img = np.stack([bg + rng.randint(-20, 20)] * 3, -1)
+            img = np.clip(img, 0, 255).astype(np.uint8)
+            pil = Image.fromarray(img)
+            draw = ImageDraw.Draw(pil)
+            for _ in range(int(rng.randint(1, max_objects + 1))):
+                cat = CATEGORIES[rng.randint(len(CATEGORIES))]
+                r = float(rng.uniform(22, 55))
+                cx = float(rng.uniform(r + 2, w - r - 2))
+                cy = float(rng.uniform(r + 2, h - r - 2))
+                poly = _polygon(cat["name"], cx, cy, r, rng)
+                base = np.array(_COLORS[cat["name"]], np.float32)
+                col = tuple(int(c) for c in np.clip(
+                    base + rng.randn(3) * 12, 0, 255))
+                draw.polygon(list(zip(poly[0::2], poly[1::2])), fill=col)
+                xs, ys = poly[0::2], poly[1::2]
+                x0, y0 = max(min(xs), 0.0), max(min(ys), 0.0)
+                x1, y1 = min(max(xs), w), min(max(ys), h)
+                annotations.append({
+                    "id": aid, "image_id": i,
+                    "category_id": cat["id"],
+                    "bbox": [x0, y0, x1 - x0, y1 - y0],
+                    "segmentation": [poly],
+                    "area": float((x1 - x0) * (y1 - y0)),
+                    "iscrowd": 0,
+                })
+                aid += 1
+            fn = f"{i:06d}.jpg"
+            pil.save(os.path.join(img_dir, fn), quality=92)
+            images.append({"id": i, "file_name": fn,
+                           "height": h, "width": w})
+        js = {"info": {"description": f"mini-coco {split}"},
+              "images": images, "annotations": annotations,
+              "categories": CATEGORIES}
+        jpath = os.path.join(root, f"instances_{split}.json")
+        with open(jpath, "w") as f:
+            json.dump(js, f)
+        out[f"{split}_json"] = jpath
+        out[f"{split}_root"] = img_dir
+    return out

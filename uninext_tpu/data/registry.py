@@ -159,6 +159,102 @@ register("ytbvos18_val",
          partial(_ytvis, json_rel="ytbvos18/val/val.json",
                  img_rel="ytbvos18/val/JPEGImages"), "sot")
 
+# ---- pseudo-video / mixed / extra splits (builtin.py:105-300) ----
+# COCO as single-frame pseudo-videos for the video joint stage
+register("coco_2017_train_video",
+         partial(_ytvis, json_rel="coco/annotations/instances_train2017_video.json",
+                 img_rel="coco/train2017"), "detection")
+register("coco_2017_val_video",
+         partial(_ytvis, json_rel="coco/annotations/instances_val2017_video.json",
+                 img_rel="coco/val2017"), "detection")
+# RefCOCO-mixed as pseudo-videos (R-VOS joint training)
+register("rvos-refcoco-mixed",
+         partial(_ytvis, json_rel="annotations/refcoco-mixed/instances_train_video.json",
+                 img_rel="coco/train2014", has_expression=True), "grounding")
+# Ref-DAVIS eval splits (4 annotator sets)
+for _i in range(4):
+    register(f"rvos-refdavis-val-{_i}",
+             partial(_ytvis, json_rel=f"ref-davis/valid_{_i}.json",
+                     img_rel="ref-davis/valid/JPEGImages",
+                     has_expression=True), "grounding")
+# COCO boxes as SOT templates (sot joint training, builtin.py:283-284)
+register("sot_coco_2017_train",
+         partial(_ytvis, json_rel="coco/annotations/instances_train2017_video_sot.json",
+                 img_rel="coco/train2017"), "sot")
+register("sot_coco_2017_val",
+         partial(_ytvis, json_rel="coco/annotations/instances_val2017_video_sot.json",
+                 img_rel="coco/val2017"), "sot")
+register("sot_davis17_val",
+         partial(_ytvis, json_rel="DAVIS/2017_val.json",
+                 img_rel="DAVIS/JPEGImages/480p"), "sot")
+register("sot_lasot_ext_test",
+         partial(_sot, kind="lasot", sub="LaSOT_extension_subset"), "sot")
+register("sot_tnl2k_test",
+         partial(_ytvis, json_rel="TNL-2K/test.json", img_rel="TNL-2K"),
+         "sot")
+register("sot_nfs",
+         partial(_ytvis, json_rel="nfs/nfs.json", img_rel="nfs/sequences"),
+         "sot")
+register("sot_uav123",
+         partial(_ytvis, json_rel="UAV123/UAV123.json",
+                 img_rel="UAV123/data_seq/UAV123"), "sot")
+# BDD100K single-image det / instance-seg splits (builtin.py:191-198)
+register("bdd_det_train",
+         partial(_coco, json_rel="bdd/labels/det_20/det_train_cocofmt_uni.json",
+                 img_rel="bdd/images/100k/train"), "detection")
+register("bdd_det_val",
+         partial(_coco, json_rel="bdd/labels/det_20/det_val_cocofmt_uni.json",
+                 img_rel="bdd/images/100k/val"), "detection")
+register("bdd_inst_train",
+         partial(_coco, json_rel="bdd/labels/ins_seg/polygons/ins_seg_train_cocoformat_uni.json",
+                 img_rel="bdd/images/10k/train"), "detection")
+register("bdd_inst_val",
+         partial(_coco, json_rel="bdd/labels/ins_seg/polygons/ins_seg_val_cocoformat_uni.json",
+                 img_rel="bdd/images/10k/val"), "detection")
+# reference-name aliases used verbatim by the joint-stage yaml recipes
+for _ref, _ours in (("ytvis_ovis_train", "ovis_train"),
+                    ("ytvis_ovis_val", "ovis_val"),
+                    ("sot_got10k_train", "got10k_train"),
+                    ("sot_got10k_val", "got10k_val"),
+                    ("sot_lasot_train", "lasot_train"),
+                    ("sot_lasot_test", "lasot_test"),
+                    ("sot_trackingnet_test", "trackingnet_test"),
+                    ("sot_ytbvos18_train", "ytbvos18_train"),
+                    ("sot_ytbvos18_val", "ytbvos18_val")):
+    _REGISTRY[_ref] = _REGISTRY[_ours]
+_REGISTRY["sot_trackingnet_train"] = (
+    partial(_sot, kind="trackingnet", sub="TrackingNet"), "sot")
+
+
+def video_joint_recipe():
+    """The stage-3 14-dataset joint recipe (video_joint_r50.yaml:38-172):
+    per-dataset (name, ratio, batch_size, min_sizes, max_size,
+    sampling_frame_range). Feed into MultiDatasetLoader as
+    datasets=[(records_i, mapper_i, bs_i)], ratios=[ratio_i]."""
+    vis_sizes = (480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800)
+    small = (320, 352, 392, 416, 448, 480, 512, 544, 576, 608, 640)
+    return [
+        # VIS (VIS:COCO = 1:1)
+        ("ytvis_ovis_train",      0.17, 2, vis_sizes, 1333, 10),
+        ("ytvis_2019_train",      0.34, 4, small,     768,  10),
+        ("coco_2017_train_video", 0.51, 2, vis_sizes, 1333, 10),
+        # MOT & MOTS (MOT:MOTS = 10:1, det:track = 1:4)
+        ("bdd_det_train",         0.18, 2, vis_sizes, 1333, 3),
+        ("bdd_box_track_train",   0.72, 2, vis_sizes, 1333, 3),
+        ("bdd_inst_train",        0.02, 2, vis_sizes, 1333, 3),
+        ("bdd_seg_track_train",   0.08, 2, vis_sizes, 1333, 3),
+        # R-VOS (ref-coco:ref-ytbvos = 2:1)
+        ("rvos-refcoco-mixed",    0.67, 2, vis_sizes, 1333, 10),
+        ("rvos-refytb-train",     0.33, 2, small,     768,  10),
+        # SOT & VOS
+        ("sot_got10k_train",      0.2,  2, vis_sizes, 1333, 200),
+        ("sot_lasot_train",       0.2,  2, vis_sizes, 1333, 200),
+        ("sot_trackingnet_train", 0.2,  2, vis_sizes, 1333, 200),
+        ("sot_coco_2017_train",   0.2,  2, vis_sizes, 1333, 200),
+        ("sot_ytbvos18_train",    0.2,  2, small,     768,  200),
+    ]
+
+
 # ---- Segmentation-in-the-Wild (25 coco-format subsets) ----
 _SEGINW_SUBSETS = (
     "Airplane-Parts", "Bottles", "Brain-Tumor", "Chicken", "Cows",

@@ -110,12 +110,15 @@ class VISDriver:
     def run_video(self, frames, img_masks, sizes, text_ids, text_mask,
                   ori_size) -> Dict:
         """frames: list of (1,H,W,3); returns post-processed video output."""
+        tr = self.cfg.track
         tracker = IDOLTracker(
-            init_score_thr=0.2, addnew_score_thr=0.5,
-            obj_score_thr=0.1, match_score_thr=0.5,
-            memory_len=self.cfg.track.memory_len,
-            frame_weight=self.cfg.track.frame_weight,
-            temporal_weight=self.cfg.track.temporal_weight)
+            init_score_thr=tr.idol_init_score_thr,
+            addnew_score_thr=tr.idol_addnew_score_thr,
+            obj_score_thr=tr.idol_obj_score_thr,
+            match_score_thr=tr.idol_match_score_thr,
+            memory_len=tr.memory_len,
+            frame_weight=tr.frame_weight,
+            temporal_weight=tr.temporal_weight)
         video_dict: Dict[int, Dict] = {}
         n_frames = len(frames)
         image_size = (int(sizes[0, 0]), int(sizes[0, 1]))

@@ -81,3 +81,38 @@ def evaluate_davis(pred_masks: Dict[int, List[np.ndarray]],
     J = float(np.mean(js)) if js else float("nan")
     F = float(np.mean(fs)) if fs else float("nan")
     return {"J": J, "F": F, "J&F": (J + F) / 2}
+
+
+def davis_palette() -> np.ndarray:
+    """The DAVIS/PASCAL-VOC 256x3 colormap (bit-reversal construction) used
+    by the official annotation PNGs and expected of submissions."""
+    pal = np.zeros((256, 3), np.uint8)
+    for i in range(256):
+        r = g = b = 0
+        c = i
+        for j in range(8):
+            r |= ((c >> 0) & 1) << (7 - j)
+            g |= ((c >> 1) & 1) << (7 - j)
+            b |= ((c >> 2) & 1) << (7 - j)
+            c >>= 3
+        pal[i] = (r, g, b)
+    return pal
+
+
+def save_davis_png(id_mask: np.ndarray, path: str) -> str:
+    """(H, W) uint8 object-id label map -> palette ('P' mode) PNG, the
+    format the DAVIS evaluator and eval server read
+    (reference uninext_vid.py VOS output path)."""
+    import os
+    from PIL import Image
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    img = Image.fromarray(id_mask.astype(np.uint8), mode="P")
+    img.putpalette(davis_palette().ravel().tolist())
+    img.save(path)
+    return path
+
+
+def load_davis_png(path: str) -> np.ndarray:
+    """Palette PNG -> (H, W) uint8 id map (inverse of save_davis_png)."""
+    from PIL import Image
+    return np.asarray(Image.open(path), np.uint8)
