@@ -51,3 +51,46 @@ def test_polygon_rasterization():
     m = mask_util.polygons_to_mask(poly, 12, 14)
     assert m[5, 5] == 1 and m[0, 0] == 0 and m[11, 13] == 0
     assert m.sum() >= 7 * 9 - 4  # approximately the rectangle area
+
+
+def test_pseudo_video_pairs_use_independent_aug(tmp_path):
+    """Pseudo-videos from stills get independent per-frame augmentation
+    (reference DetrDatasetMapperUniCLIP); real clips stay clip-consistent."""
+    import random
+
+    import numpy as np
+    from PIL import Image
+
+    from uninext_tpu.config import DataConfig
+    from uninext_tpu.data.video import VideoPairMapper, pseudo_video_from_image
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(80, 120, 3) * 255).astype(np.uint8)
+    fp = tmp_path / "x.jpg"
+    Image.fromarray(img).save(fp)
+    record = {"file_name": str(fp), "image_id": 7, "height": 80,
+              "width": 120,
+              "annotations": [{"bbox": [10, 10, 40, 30], "category_id": 0,
+                               "segmentation": None}]}
+    vid = pseudo_video_from_image(record, length=2)
+    assert vid["pseudo"]
+    cfg = DataConfig(max_insts=4, max_text_len=32,
+                     min_size_train=(48, 64), max_size_train=96)
+    mapper = VideoPairMapper(cfg, ["thing"], is_train=True,
+                             with_masks=False)
+    # across many seeds, the two frames must sometimes get different
+    # geometry (scale bucket or flip) — impossible under clip-consistent aug
+    diff = 0
+    for seed in range(12):
+        k, r = mapper(vid, random.Random(seed))
+        if k.image.shape != r.image.shape or not np.allclose(
+                k.boxes[k.valid], r.boxes[r.valid]):
+            diff += 1
+    assert diff > 0
+    # a REAL clip record (no pseudo flag) keeps consistent geometry
+    vid2 = dict(vid)
+    vid2.pop("pseudo")
+    for seed in range(6):
+        k, r = mapper(vid2, random.Random(seed))
+        assert k.image.shape == r.image.shape
+        np.testing.assert_allclose(k.boxes[k.valid], r.boxes[r.valid])

@@ -1,0 +1,56 @@
+"""CLI tools work end-to-end on the tiny config: demo.py draws detections,
+vot_integration.py tracks through the initialize/track protocol (reference
+demo.py / vot_tool.py)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+
+@pytest.fixture(scope="module")
+def jpeg(tmp_path_factory):
+    rng = np.random.RandomState(0)
+    img = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+    p = tmp_path_factory.mktemp("demo") / "img.jpg"
+    Image.fromarray(img).save(p)
+    return str(p)
+
+
+def test_demo_detection(jpeg, tmp_path, monkeypatch):
+    import demo
+    out = str(tmp_path / "out.png")
+    monkeypatch.setattr(sys, "argv", [
+        "demo.py", "--image", jpeg, "--config", "tiny_test_config",
+        "--output", out, "--score-thr", "0.0"])
+    demo.main()
+    assert os.path.exists(out)
+    assert Image.open(out).size[0] > 0
+
+
+def test_demo_grounding(jpeg, tmp_path, monkeypatch):
+    import demo
+    out = str(tmp_path / "out_g.png")
+    monkeypatch.setattr(sys, "argv", [
+        "demo.py", "--image", jpeg, "--config", "tiny_test_config",
+        "--prompt", "the red thing on the left", "--output", out,
+        "--score-thr", "0.0"])
+    demo.main()
+    assert os.path.exists(out)
+
+
+def test_vot_tracker_protocol():
+    from vot_integration import UninextVOTTracker
+    rng = np.random.RandomState(1)
+    frames = [(rng.rand(96, 128, 3) * 255).astype(np.uint8)
+              for _ in range(3)]
+    tr = UninextVOTTracker(config_name="tiny_test_config")
+    tr.initialize(frames[0], [30.0, 20.0, 40.0, 30.0])
+    for f in frames[1:]:
+        box, conf = tr.track(f)
+        assert len(box) == 4 and np.isfinite(box).all()
+        assert box[2] > 0 and box[3] > 0
+        assert 0.0 <= conf <= 1.0

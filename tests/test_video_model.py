@@ -39,3 +39,32 @@ def test_video_train_losses():
     assert "loss_ce" in losses and "loss_mask" in losses
     for k, v in losses.items():
         assert np.isfinite(float(v)), (k, float(v))
+
+
+def test_video_train_step():
+    """Stage-3 two-frame train step: gradients flow, loss drops on a fixed
+    batch (engine/train.py make_video_train_step)."""
+    from uninext_tpu.engine.train import (create_video_train_state,
+                                          make_video_train_step)
+
+    cfg = dataclasses.replace(small_cfg(), use_reid=True)
+    images, img_mask, sizes, tids, tmask, targets_key = make_batch(0)
+    batch = {
+        "images_key": images, "images_ref": make_batch(1)[0],
+        "img_mask": img_mask, "image_sizes": sizes,
+        "text_ids": tids, "text_mask": tmask,
+        "targets_key": targets_key, "targets_ref": dict(targets_key),
+    }
+    model, state = create_video_train_state(cfg, jax.random.PRNGKey(0),
+                                            batch)
+    step = make_video_train_step(model, cfg)
+    losses = []
+    rng = jax.random.PRNGKey(7)
+    for i in range(4):
+        rng, sr = jax.random.split(rng)
+        state, metrics = step(state, batch, sr)
+        losses.append(float(metrics["total_loss"]))
+        assert np.isfinite(losses[-1])
+        assert "loss_reid" in metrics
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 4

@@ -53,13 +53,15 @@ class UninextVOTTracker:
                                                       make_template_encoder)
         frame, mask, sizes = self._prep(image)
         if self.params is None:
-            import jax.numpy as jnp
-            T = self.cfg.data.max_text_len
-            self.params = jax.jit(lambda r: self.model.init(
-                {"params": r}, frame, mask, sizes,
-                jnp.zeros((1, T), jnp.int32), jnp.ones((1, T), jnp.int32),
-                task="detection", train=False))(
-                    jax.random.PRNGKey(0))["params"]
+            # init_all_paths: the detection-only init misses the SOT
+            # template branch (adjust_layer / 4ch template backbone)
+            from uninext_tpu.models.detr import init_all_paths
+            self.params = init_all_paths(
+                self.model, jax.random.PRNGKey(0))["params"]
+            if self.checkpoint:
+                import orbax.checkpoint as ocp
+                self.params = ocp.StandardCheckpointer().restore(
+                    self.checkpoint, target=self.params)
         self.encode = make_template_encoder(self.model, self.cfg)
         self.step = make_sot_frame_step(self.model, self.cfg,
                                         frame.shape[1], frame.shape[2],

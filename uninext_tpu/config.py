@@ -45,7 +45,9 @@ class BackboneConfig:
 
 @dataclasses.dataclass(frozen=True)
 class LanguageConfig:
-    # BERT-base-uncased encoder; reference models/deformable_detr/bert_model.py
+    # Text encoder; reference models/deformable_detr/bert_model.py supports
+    # MODEL.LANGUAGE_BACKBONE.MODEL_TYPE in {bert-base-uncased, roberta-base}
+    model_type: str = "bert-base-uncased"
     vocab_size: int = 30522
     hidden_dim: int = 768
     num_layers: int = 12
@@ -54,9 +56,18 @@ class LanguageConfig:
     max_len: int = 256          # MODEL.LANGUAGE_BACKBONE.MAX_QUERY_LEN
     type_vocab_size: int = 2
     max_position_embeddings: int = 512
+    layer_norm_eps: float = 1e-12
+    pad_token_id: int = 0       # roberta: 1 (drives its position-id scheme)
     freeze: bool = False        # MODEL.FREEZE_TEXT_ENCODER
     # PARALLEL_DET builds a block-diagonal attention mask per class name
     parallel_det: bool = False
+
+
+def roberta_base_language() -> "LanguageConfig":
+    """roberta-base variant (bert_model.py:21-26)."""
+    return LanguageConfig(model_type="roberta-base", vocab_size=50265,
+                          type_vocab_size=1, max_position_embeddings=514,
+                          layer_norm_eps=1e-5, pad_token_id=1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -289,3 +300,50 @@ def tiny_test_config() -> UninextConfig:
         data=DataConfig(max_insts=20, max_text_len=32),
         compute_dtype="float32",
     )
+
+
+# ---- per-task evaluation presets (reference configs/eval-vid/*.yaml) ------
+# The 17 eval yamls vary only in TEST datasets + INPUT.MIN_SIZE_TEST (same
+# matrix for R50 / ConvNeXt-L / ViT-H); VOTS additionally switches the
+# meta-architecture to the mask-reporting SOT variant.
+EVAL_PRESETS = {
+    "vis": {"datasets": ("ytvis_2019_val",), "min_size_test": 480,
+            "max_size_test": 1333},
+    "ovis": {"datasets": ("ytvis_ovis_val",), "min_size_test": 720,
+             "max_size_test": 1333},          # "720 for ovis"
+    "vis21": {"datasets": ("ytvis_2021_val",), "min_size_test": 480,
+              "max_size_test": 1333},
+    "mot": {"datasets": ("bdd_box_track_val",), "min_size_test": 800,
+            "max_size_test": 1333},
+    "mots": {"datasets": ("bdd_seg_track_val",), "min_size_test": 800,
+             "max_size_test": 1333},
+    "rvos": {"datasets": ("rvos-refytb-val", "rvos-refdavis-val-0",
+                          "rvos-refdavis-val-1", "rvos-refdavis-val-2",
+                          "rvos-refdavis-val-3"),
+             "min_size_test": 480, "max_size_test": 1333},
+    "sot": {"datasets": ("sot_lasot_test", "sot_lasot_ext_test",
+                         "sot_trackingnet_test", "sot_tnl2k_test"),
+            "min_size_test": 800, "max_size_test": 1333},
+    "vots": {"datasets": ("sot_lasot_test", "sot_lasot_ext_test",
+                          "sot_trackingnet_test", "sot_tnl2k_test"),
+             "min_size_test": 800, "max_size_test": 1333,
+             "with_mask": True},              # UNINEXT_VOTS meta-arch
+    "vos": {"datasets": ("sot_ytbvos18_val", "sot_davis17_val"),
+            "min_size_test": 480, "max_size_test": 1333},
+    "coco": {"datasets": ("coco_2017_val",), "min_size_test": 800,
+             "max_size_test": 1333},
+    "refcoco": {"datasets": ("refcoco-unc-val", "refcoco-unc-testA",
+                             "refcoco-unc-testB"),
+                "min_size_test": 800, "max_size_test": 1333},
+}
+
+
+def eval_config(base: UninextConfig, task: str):
+    """Apply an eval preset: returns (cfg with the preset's test sizes,
+    dataset names tuple, with_mask flag)."""
+    p = EVAL_PRESETS[task]
+    cfg = dataclasses.replace(
+        base, data=dataclasses.replace(base.data,
+                                       min_size_test=p["min_size_test"],
+                                       max_size_test=p["max_size_test"]))
+    return cfg, p["datasets"], p.get("with_mask", False)

@@ -105,10 +105,20 @@ class VideoPairMapper:
                 "task": record.get("task", "detection"),
             }
 
-        # per-clip consistent geometry: share one rng state for both frames
-        seed = rng.getrandbits(32)
-        key_s = self.base(frame_record(key_f), random.Random(seed))
-        ref_s = self.base(frame_record(ref_f), random.Random(seed))
+        # per-clip consistent geometry (flip_by_clip / choice_by_clip):
+        # share one rng state for both frames. Pseudo-videos built from one
+        # still image instead use INDEPENDENT augmentation per frame so the
+        # pair carries synthetic motion (reference DetrDatasetMapperUniCLIP,
+        # coco_dataset_mapper_uni.py:316-344).
+        if record.get("pseudo", False):
+            key_s = self.base(frame_record(key_f),
+                              random.Random(rng.getrandbits(32)))
+            ref_s = self.base(frame_record(ref_f),
+                              random.Random(rng.getrandbits(32)))
+        else:
+            seed = rng.getrandbits(32)
+            key_s = self.base(frame_record(key_f), random.Random(seed))
+            ref_s = self.base(frame_record(ref_f), random.Random(seed))
         # clear validity for absent objects (dummy annos)
         for s, fi in ((key_s, key_f), (ref_s, ref_f)):
             for i, track in enumerate(record["tracks"]):
@@ -159,4 +169,5 @@ def pseudo_video_from_image(record: Dict, length: int = 2) -> Dict:
         "tracks": tracks,
         "expressions": record.get("expressions"),
         "task": record.get("task", "detection"),
+        "pseudo": True,
     }

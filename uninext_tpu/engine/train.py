@@ -54,11 +54,14 @@ def weighted_total(losses: Dict[str, jnp.ndarray],
                    task_weight: float = 1.0) -> jnp.ndarray:
     total = jnp.zeros(())
     for k, v in losses.items():
+        # longest matching key wins: "loss_reid_aux" must match its own
+        # entry, not the "loss_reid" prefix (aux-layer suffixed keys like
+        # "loss_ce_3" still fall through to their base weight)
         base = k
+        best = -1
         for key in weights:
-            if k == key or k.startswith(key + "_"):
-                base = key
-                break
+            if (k == key or k.startswith(key + "_")) and len(key) > best:
+                base, best = key, len(key)
         total = total + v * weights.get(base, 1.0) * task_weight
     return total
 
@@ -122,3 +125,65 @@ def make_train_step(model: UninextDETR, cfg: UninextConfig, task: str,
         in_shardings=(repl, batch_sharding, repl),
         out_shardings=(repl, repl),
         donate_argnums=0)
+
+
+def make_video_train_step(model: UninextDETR, cfg: UninextConfig,
+                          mesh: Mesh | None = None, has_masks: bool = True,
+                          task: str = "detection"):
+    """Stage-3 two-frame (key, ref) step: detection losses on the key frame
+    + contrastive reid against the ref frame (reference
+    DDETRSegmUniVID.coco_forward_vis). Batch layout = data.video.collate_video."""
+    weights = loss_weights(cfg)
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
+                rng: jax.Array):
+        def tgt(t):
+            out = {k: v for k, v in t.items() if k != "has_masks"}
+            out["has_masks"] = has_masks
+            return out
+
+        def loss_fn(params):
+            losses = model.apply(
+                {"params": params}, batch["images_key"], batch["img_mask"],
+                batch["image_sizes"], batch["text_ids"], batch["text_mask"],
+                tgt(batch["targets_key"]), tgt(batch["targets_ref"]),
+                batch["images_ref"], task=task, rngs={"dn": rng},
+                method=UninextDETR.forward_video_train)
+            return weighted_total(losses, weights), losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, {"total_loss": total, **losses}
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+    batch_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(step_fn,
+                   in_shardings=(repl, batch_sharding, repl),
+                   out_shardings=(repl, repl), donate_argnums=0)
+
+
+def create_video_train_state(cfg: UninextConfig, rng: jax.Array,
+                             sample_batch: Dict[str, jnp.ndarray],
+                             has_masks: bool = True, task: str = "detection"
+                             ) -> Tuple[UninextDETR, TrainState]:
+    model = UninextDETR(cfg)
+
+    def tgt(t):
+        out = {k: v for k, v in t.items() if k != "has_masks"}
+        out["has_masks"] = has_masks
+        return out
+
+    params = model.init(
+        {"params": rng, "dn": jax.random.fold_in(rng, 1)},
+        sample_batch["images_key"], sample_batch["img_mask"],
+        sample_batch["image_sizes"], sample_batch["text_ids"],
+        sample_batch["text_mask"], tgt(sample_batch["targets_key"]),
+        tgt(sample_batch["targets_ref"]), sample_batch["images_ref"],
+        task=task, method=UninextDETR.forward_video_train)["params"]
+    tx = build_optimizer(cfg.solver, params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params), tx=tx)
+    return model, state

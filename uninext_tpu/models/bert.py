@@ -49,11 +49,11 @@ class BertLayer(nn.Module):
     def __call__(self, x, attn_bias):
         c = self.cfg
         attn = BertSelfAttention(c, dtype=self.dtype, name="attention")(x, attn_bias)
-        x = nn.LayerNorm(epsilon=1e-12, name="attention_ln")(x + attn)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attention_ln")(x + attn)
         h = nn.Dense(c.intermediate_dim, dtype=self.dtype, name="intermediate")(x)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(c.hidden_dim, dtype=self.dtype, name="ffn_output")(h)
-        return nn.LayerNorm(epsilon=1e-12, name="output_ln")(x + h)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_ln")(x + h)
 
 
 class BertEncoder(nn.Module):
@@ -73,14 +73,22 @@ class BertEncoder(nn.Module):
         c = self.cfg
         B, L = input_ids.shape
         word = nn.Embed(c.vocab_size, c.hidden_dim, name="word_embeddings")(input_ids)
-        pos_ids = jnp.arange(L)[None, :]
+        if c.model_type == "roberta-base":
+            # RoBERTa position ids: pad positions stay at padding_idx, the
+            # i-th non-pad token gets padding_idx + i + 1 (HF
+            # create_position_ids_from_input_ids semantics)
+            nonpad = (input_ids != c.pad_token_id).astype(jnp.int32)
+            pos_ids = jnp.cumsum(nonpad, axis=1) * nonpad + c.pad_token_id
+        else:
+            pos_ids = jnp.broadcast_to(jnp.arange(L)[None, :], (B, L))
         pos = nn.Embed(c.max_position_embeddings, c.hidden_dim,
                        name="position_embeddings")(pos_ids)
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(input_ids)
         typ = nn.Embed(c.type_vocab_size, c.hidden_dim,
                        name="token_type_embeddings")(token_type_ids)
-        x = nn.LayerNorm(epsilon=1e-12, name="embeddings_ln")(word + pos + typ)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps,
+                         name="embeddings_ln")(word + pos + typ)
         x = x.astype(self.dtype)
 
         # additive bias: (B, 1, 1, L) from the key-side validity mask, plus an

@@ -140,7 +140,7 @@ class Attention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         scale = 1.0 / np.sqrt(hd)
 
-        Rh = Rw = None
+        RhE = RwE = None
         if self.use_rel_pos:
             rel_h = self.param("rel_pos_h", nn.initializers.zeros,
                                (2 * self.rel_pos_size - 1, hd))
@@ -150,17 +150,28 @@ class Attention(nn.Module):
             idx_w = (jnp.arange(W)[:, None] - jnp.arange(W)[None, :]) + W - 1
             Rh = interp_rel_pos(rel_h, H)[idx_h].astype(self.dtype)  # (H,H,hd)
             Rw = interp_rel_pos(rel_w, W)[idx_w].astype(self.dtype)  # (W,W,hd)
+            # TPU layout: expand the decomposed tables along the flattened
+            # key axis so the bias lands directly in the lane-aligned
+            # (q, H*W) layout — the naive 6-D broadcast add
+            # (attn + bh[...,:,None] + bw[...,None,:]) pads the trailing
+            # (H, W) dims to (8, 128) tiles and costs ~4x the whole
+            # attention at ViT-H scale. RhE[y,d,(i,j)] = Rh[y,i,d];
+            # RwE[x,d,(i,j)] = Rw[x,j,d]. XLA fuses the repeat/tile into
+            # the bias matmuls; exact same math.
+            RhE = jnp.repeat(Rh.transpose(0, 2, 1)[:, :, :, None], W,
+                             axis=3).reshape(H, hd, H * W)
+            RwE = jnp.tile(Rw.transpose(0, 2, 1)[:, :, None, :],
+                           (1, 1, H, 1)).reshape(W, hd, H * W)
 
-        def attend(qc, Rhc):
-            """qc: (B, hc, W, nh, hd) query rows; Rhc: (hc, H, hd)."""
+        def attend(qc, RhEc):
+            """qc: (B, hc, W, nh, hd) query rows; RhEc: (hc, hd, H*W)."""
             hc = qc.shape[1]
             attn = jnp.einsum("byxhd,bkhd->bhyxk", qc * scale, k)
-            attn = attn.reshape(B, nh, hc, W, H, W)
-            if Rhc is not None:
+            if RhEc is not None:
                 # ViTDet adds the bias computed from the UNSCALED q
-                bh = jnp.einsum("byxhd,yid->bhyxi", qc, Rhc)
-                bw = jnp.einsum("byxhd,xjd->bhyxj", qc, Rw)
-                attn = attn + bh[..., :, None] + bw[..., None, :]
+                bh = jnp.einsum("byxhd,ydk->bhyxk", qc, RhEc)
+                bw = jnp.einsum("byxhd,xdk->bhyxk", qc, RwE)
+                attn = attn + bh + bw
             attn = attn.reshape(B, nh, hc * W, H * W)
             attn = nn.softmax(attn.astype(jnp.float32), -1).astype(self.dtype)
             return jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(
@@ -171,14 +182,14 @@ class Attention(nn.Module):
         if cr and H > cr and H % cr == 0:
             qs = qg.reshape(B, H // cr, cr, W, nh, hd).transpose(
                 1, 0, 2, 3, 4, 5)
-            Rhs = (Rh.reshape(H // cr, cr, H, hd) if Rh is not None
-                   else None)
-            out = jax.lax.map(lambda args: attend(*args), (qs, Rhs)) \
-                if Rh is not None else jax.lax.map(
+            RhEs = (RhE.reshape(H // cr, cr, hd, H * W) if RhE is not None
+                    else None)
+            out = jax.lax.map(lambda args: attend(*args), (qs, RhEs)) \
+                if RhE is not None else jax.lax.map(
                     lambda qq: attend(qq, None), qs)
             out = out.transpose(1, 0, 2, 3, 4).reshape(B, H, W, self.dim)
         else:
-            out = attend(qg, Rh)
+            out = attend(qg, RhE)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
