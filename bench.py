@@ -256,10 +256,12 @@ def bench_vis():
 
 
 def bench_sot():
-    """Config 5: ViT-H SOT/VOS frame step (template prompt + mask)."""
-    H, W = 480, 736
+    """Config 5: ViT-H SOT/VOS frame step (template prompt + mask).
+
+    Two resolutions: 480x736 = the VOS eval size (eval-vid *_eval_vos.yaml
+    MIN_SIZE_TEST 480), 800x1216 = the SOT eval size (*_eval_sot.yaml
+    MIN_SIZE_TEST 800)."""
     cfg = video_joint_vit_huge()
-    images, img_mask, sizes = _image_inputs(H, W)
     model, params = _init_full(cfg)
     p = params["params"]
 
@@ -267,24 +269,34 @@ def bench_sot():
         make_sot_frame_step
     encode = make_template_encoder(model, cfg)
     box = jnp.array([[200.0, 150.0, 400.0, 350.0]])
-    lang = encode(p, images, box)
-    step = make_sot_frame_step(model, cfg, H, W, with_mask=True)
 
-    @jax.jit
-    def loop(pp, im, msk, sz, lh, lm):
-        def body(i, acc):
-            r = step.__wrapped__(pp, im + i * 1e-9, msk, sz, lh, lm)
-            return acc + r["score"].sum() + r["box_cxcywh"].sum() \
-                + r["mask_logits"].mean()
-        return jax.lax.fori_loop(0, N_ITERS, body, jnp.float32(0))
+    out = []
+    for (H, W, tag, base_fps, reps) in ((480, 736, "480x736", 7.0, 5),
+                                        (800, 1216, "800px", 7.0, 2)):
+        images, img_mask, sizes = _image_inputs(H, W)
+        lang = encode(p, images, box)
+        step = make_sot_frame_step(model, cfg, H, W, with_mask=True)
 
-    dts = time_fn(loop, p, images, img_mask, sizes, lang["hidden"],
-                  lang["masks"], reps=5)
-    p50 = sorted(dts)[len(dts) // 2]
-    r1 = emit("sot_vos_vith_fps_per_chip_480x736", 1.0 / dts[0],
-              "frames/sec", 7.0)
-    r2 = emit("sot_vos_vith_p50_frame_latency", p50 * 1000, "ms", 143.0)
-    return r1, r2
+        @jax.jit
+        def loop(pp, im, msk, sz, lh, lm, step=step):
+            def body(i, acc):
+                r = step.__wrapped__(pp, im + i * 1e-9, msk, sz, lh, lm)
+                return acc + r["score"].sum() + r["box_cxcywh"].sum() \
+                    + r["mask_logits"].mean()
+            return jax.lax.fori_loop(0, N_ITERS, body, jnp.float32(0))
+
+        dts = time_fn(loop, p, images, img_mask, sizes, lang["hidden"],
+                      lang["masks"], reps=reps)
+        if tag == "480x736":
+            p50 = sorted(dts)[len(dts) // 2]
+            out.append(emit("sot_vos_vith_fps_per_chip_480x736",
+                            1.0 / dts[0], "frames/sec", base_fps))
+            out.append(emit("sot_vos_vith_p50_frame_latency", p50 * 1000,
+                            "ms", 143.0))
+        else:
+            out.append(emit("sot_vith_fps_per_chip_800px", 1.0 / min(dts),
+                            "frames/sec", base_fps))
+    return tuple(out)
 
 
 def main():

@@ -35,6 +35,9 @@ class BackboneConfig:
     # q-row chunk for global-block attention (lax.map over row blocks keeps
     # the (Lq, Lk) logits buffer bounded at high resolution); 0 = off
     vit_global_q_rows: int = 8
+    # Pallas flash global attention with folded rel-pos bias; None = auto
+    # (on for TPU backends, off for CPU/GPU — models/vit.py)
+    vit_flash_attn: Optional[bool] = None
     # ConvNeXt specifics
     convnext_depths: Tuple[int, ...] = (3, 3, 27, 3)
     convnext_dims: Tuple[int, ...] = (192, 384, 768, 1536)

@@ -74,13 +74,16 @@ def create_train_state(cfg: UninextConfig, rng: jax.Array,
     targets = {k: v for k, v in sample_batch["targets"].items()
                if k != "has_masks"}
     targets["has_masks"] = has_masks
-    params = model.init(
-        {"params": rng, "dn": jax.random.fold_in(rng, 1)},
-        sample_batch["images"], sample_batch["img_mask"],
-        sample_batch["image_sizes"], sample_batch["text_ids"],
-        sample_batch["text_mask"], task=task,
-        targets=targets, train=True)
-    params = params["params"]
+    # jit the init: eager flax init executes op-by-op (minutes on CPU) and
+    # bypasses the persistent compilation cache. has_masks is static —
+    # keep it out of the traced pytree.
+    traced_targets = {k: v for k, v in targets.items() if k != "has_masks"}
+    init_fn = jax.jit(lambda r, b, t: model.init(
+        {"params": r, "dn": jax.random.fold_in(r, 1)},
+        b["images"], b["img_mask"], b["image_sizes"], b["text_ids"],
+        b["text_mask"], task=task, targets={**t, "has_masks": has_masks},
+        train=True))
+    params = init_fn(rng, sample_batch, traced_targets)["params"]
     tx = build_optimizer(cfg.solver, params)
     opt_state = tx.init(params)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
@@ -176,13 +179,13 @@ def create_video_train_state(cfg: UninextConfig, rng: jax.Array,
         out["has_masks"] = has_masks
         return out
 
-    params = model.init(
-        {"params": rng, "dn": jax.random.fold_in(rng, 1)},
-        sample_batch["images_key"], sample_batch["img_mask"],
-        sample_batch["image_sizes"], sample_batch["text_ids"],
-        sample_batch["text_mask"], tgt(sample_batch["targets_key"]),
-        tgt(sample_batch["targets_ref"]), sample_batch["images_ref"],
-        task=task, method=UninextDETR.forward_video_train)["params"]
+    init_fn = jax.jit(lambda r, b: model.init(
+        {"params": r, "dn": jax.random.fold_in(r, 1)},
+        b["images_key"], b["img_mask"], b["image_sizes"], b["text_ids"],
+        b["text_mask"], tgt(b["targets_key"]), tgt(b["targets_ref"]),
+        b["images_ref"], task=task,
+        method=UninextDETR.forward_video_train))
+    params = init_fn(rng, sample_batch)["params"]
     tx = build_optimizer(cfg.solver, params)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=tx.init(params), tx=tx)

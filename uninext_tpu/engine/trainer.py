@@ -38,8 +38,12 @@ class Trainer:
         # one-time cost across runs (first compile of the full train step at
         # 800x1216 is tens of minutes on this stack)
         try:
-            jax.config.update("jax_compilation_cache_dir",
-                              f"{output_dir}/xla_cache")
+            # respect an already-configured persistent cache (e.g. the repo
+            # cache set by tests/conftest.py) — overriding it with a
+            # per-run output dir would defeat caching entirely
+            if not jax.config.jax_compilation_cache_dir:
+                jax.config.update("jax_compilation_cache_dir",
+                                  f"{output_dir}/xla_cache")
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
         except Exception:
             pass

@@ -212,6 +212,7 @@ class UninextDETR(nn.Module):
                 global_blocks=c.backbone.vit_global_blocks,
                 drop_path_rate=c.backbone.vit_drop_path_rate,
                 global_q_chunk_rows=c.backbone.vit_global_q_rows,
+                use_flash=c.backbone.vit_flash_attn,
                 in_channels=c.backbone.in_channels,
                 dtype=dtype, name="backbone")
         else:
