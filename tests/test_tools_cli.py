@@ -54,3 +54,22 @@ def test_vot_tracker_protocol():
         assert len(box) == 4 and np.isfinite(box).all()
         assert box[2] > 0 and box[3] > 0
         assert 0.0 <= conf <= 1.0
+
+
+def test_train_net_eval_only(tmp_path, monkeypatch, capsys):
+    """train_net.py --eval-only runs the detection evaluator end-to-end
+    (reference train_net.py --eval-only path)."""
+    import json
+
+    from uninext_tpu.data.mini_coco import make_mini_coco
+    paths = make_mini_coco(str(tmp_path / "mc"), seed=3)
+    import train_net
+    monkeypatch.setattr(sys, "argv", [
+        "train_net.py", "--config", "tiny_test_config", "--eval-only",
+        "--coco-json", paths["val_json"], "--image-root", paths["val_root"],
+        "--output-dir", str(tmp_path / "out")])
+    train_net.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    res = json.loads("\n".join(out[out.index("{"):])) if "{" in out else \
+        json.loads("\n".join(out))
+    assert "AP" in res

@@ -91,6 +91,47 @@ def main():
         raise SystemExit("no datasets given (--coco-json/--refcoco-json)")
 
     import jax
+
+    if args.eval_only:
+        # reference train_net.py --eval-only: build the model, load weights,
+        # run the task evaluator over the given json, print metrics
+        import json as json_mod
+
+        from uninext_tpu.data.prompts import create_label_token_map
+        from uninext_tpu.data.tokenizer import BertTokenizer
+        from uninext_tpu.engine.checkpoint import CheckpointManager
+        from uninext_tpu.engine.evaluator import (DetectionEvaluator,
+                                                  evaluate_refcoco)
+        from uninext_tpu.models.detr import init_all_paths, UninextDETR
+
+        model = UninextDETR(cfg)
+        params = init_all_paths(model, jax.random.PRNGKey(0))["params"]
+        if args.init_weights:
+            from uninext_tpu.engine.convert import load_torch_checkpoint
+            params = load_torch_checkpoint(args.init_weights, params)
+        elif args.resume:
+            ckpt = CheckpointManager(f"{args.output_dir}/checkpoints")
+            params, restored = ckpt.restore_params(params)
+            if not restored:
+                raise SystemExit(f"no checkpoint in {args.output_dir}")
+
+        tok = BertTokenizer()
+        eval_mapper = UniDatasetMapper(cfg.data, categories, tok,
+                                       is_train=False, with_masks=False)
+        if args.task == "grounding":
+            records = load_refcoco_json(args.refcoco_json, args.image_root)
+            res = evaluate_refcoco(model, cfg, params, records, eval_mapper)
+        else:
+            records, categories = load_coco_json(args.coco_json,
+                                                 args.image_root)
+            _, _, cmap = create_label_token_map(categories, tok,
+                                                cfg.data.max_text_len)
+            ev = DetectionEvaluator(model, cfg, cmap, with_masks=False)
+            res = ev.evaluate(params, records, eval_mapper)
+        print(json_mod.dumps({k: float(v) for k, v in res.items()
+                              if isinstance(v, (int, float))}, indent=1))
+        return
+
     loader = prefetch(iter(MultiDatasetLoader(
         datasets, ratios=[1.0] * len(datasets),
         process_index=jax.process_index(),

@@ -33,6 +33,19 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def restore_params(self, params, step: Optional[int] = None):
+        """Restore only the model params (eval-only: no optimizer state)."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return params, False
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore({"params": params}))
+        except BaseException:
+            # orbax versions that require the full saved structure
+            restored = self._mgr.restore(step)
+        return restored["params"], True
+
     def restore(self, state, step: Optional[int] = None):
         step = step if step is not None else self.latest_step()
         if step is None:
