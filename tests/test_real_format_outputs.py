@@ -311,7 +311,13 @@ def test_vos_driver_davis_pngs(tiny_model, davis_dir, tmp_path):
     init = {}
     for oid in (1, 2):
         ys, xs = np.nonzero(ann == oid)
-        init[oid] = {"frame": 0, "box_xyxy": np.array(
+        # first-frame gt mask -> the template's 4th channel (nearest-resized
+        # to the network input scale, zero-padded to the bucket)
+        gm = np.zeros((H, W), np.float32)
+        iy = (np.arange(h) * ann.shape[0]) // h
+        ix = (np.arange(w) * ann.shape[1]) // w
+        gm[:h, :w] = (ann == oid)[iy][:, ix]
+        init[oid] = {"frame": 0, "mask": gm, "box_xyxy": np.array(
             [xs.min() * sx, ys.min() * sy, xs.max() * sx, ys.max() * sy],
             np.float32)}
     drv = VOSDriver(model, params, cfg, H, W)

@@ -18,20 +18,27 @@ def test_crop_template_identity_region():
     rng = np.random.RandomState(0)
     img = rng.rand(64, 80, 3).astype(np.float32)
     box = np.array([[20.0, 12.0, 52.0, 44.0]])  # 32x32 box
-    out = np.asarray(crop_template(jnp.array(img[None]), jnp.array(box),
-                                   template_size=32, search_area_factor=1.0))
-    # factor 1 -> crop side = sqrt(32*32) = 32 exactly the box
+    crop, pad = crop_template(jnp.array(img[None]), jnp.array(box),
+                              template_size=32, search_area_factor=1.0)
+    out = np.asarray(crop)
+    # factor 1 -> crop side = sqrt(32*32) = 32 exactly the box; the
+    # reference's boundary quirk zeroes the last row/col of content when
+    # the window touches it, so compare the interior
     ref = img[12:44, 20:52]
-    np.testing.assert_allclose(out[0], ref, atol=1e-4)
+    np.testing.assert_allclose(out[0, :-1, :-1], ref[:-1, :-1], atol=1e-4)
+    assert not np.asarray(pad).any()
 
 
 def test_crop_template_zero_padding_outside():
     img = np.ones((32, 32, 3), np.float32)
     box = np.array([[-10.0, -10.0, 10.0, 10.0]])  # mostly outside
-    out = np.asarray(crop_template(jnp.array(img[None]), jnp.array(box),
-                                   template_size=16, search_area_factor=1.0))
+    crop, pad = crop_template(jnp.array(img[None]), jnp.array(box),
+                              template_size=16, search_area_factor=1.0)
+    out = np.asarray(crop)
     assert out[0, 0, 0, 0] == 0.0          # top-left is outside -> zero
     assert out[0, -1, -1, 0] > 0.5          # bottom-right is inside
+    p = np.asarray(pad)
+    assert p[0, 0, 0] and not p[0, -2, -2]  # pad mask mirrors that
 
 
 def test_resize_level_constant_preserved():
@@ -54,8 +61,10 @@ def test_encode_template_and_sot_forward():
 
     @jax.jit
     def run(rng):
-        crop = crop_template(images, jnp.array([[10., 10., 40., 40.]] * B),
-                             cfg.sot.template_size, cfg.sot.search_area_factor)
+        crop, _ = crop_template(images,
+                                jnp.array([[10., 10., 40., 40.]] * B),
+                                cfg.sot.template_size,
+                                cfg.sot.search_area_factor)
         params = model.init({"params": rng}, images, img_mask, sizes, crop,
                             method=sot_forward)
         return model.apply(params, images, img_mask, sizes, crop,
@@ -67,6 +76,35 @@ def test_encode_template_and_sot_forward():
     assert lang["hidden"].shape == (B, L * r * r, cfg.language.hidden_dim)
     assert out["pred_logits"].shape == (B, cfg.transformer.num_queries, 1)
     assert np.all(np.isfinite(np.asarray(out["pred_logits"])))
+
+
+def test_encode_template_vit_template_backbone():
+    """ViT-family template branch: the 4ch template backbone mirrors the
+    MAIN backbone family (reference uninext_vid.py:160-167 builds
+    MaskedBackbone(cfg, channels=4) — a 4ch D2ViT for the ViT-H config)."""
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        backbone=dataclasses.replace(
+            cfg.backbone, name="vit_huge", vit_embed_dim=32, vit_depth=2,
+            vit_num_heads=2, vit_window_size=4, vit_global_blocks=(1,),
+            out_channels=(16, 32, 32), vit_flash_attn=False),
+        sot=dataclasses.replace(cfg.sot, extra_backbone_for_template=True,
+                                feature_fusion=True, template_size=32))
+    model = UninextDETR(cfg)
+    crop = jnp.zeros((1, 32, 32, 4))
+    pad = jnp.zeros((1, 32, 32), bool)
+
+    @jax.jit
+    def run(r):
+        params = model.init({"params": r}, crop, pad,
+                            method=UninextDETR.encode_template)
+        return params, model.apply(params, crop, pad,
+                                   method=UninextDETR.encode_template)
+
+    params, lang = run(jax.random.PRNGKey(0))
+    assert "patch_embed" in params["params"]["template_backbone"]
+    assert np.all(np.isfinite(np.asarray(lang["hidden"])))
 
 
 def test_soft_aggregate():

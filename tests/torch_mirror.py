@@ -104,7 +104,7 @@ class MaskedBackboneEquiv:
     """Functional equivalent of reference backbone/masked_backbone.py:10-29
     without detectron2's build_backbone registry plumbing."""
 
-    def __new__(cls, cfg):
+    def __new__(cls, cfg, channels=3):
         import torch
         import torch.nn as nn
         import torch.nn.functional as F
@@ -113,8 +113,8 @@ class MaskedBackboneEquiv:
         misc = import_reference("uninext.util.misc")
 
         backbone = rn.build_resnet_backbone(
-            cfg, shape_spec.ShapeSpec(channels=3, height=None, width=None,
-                                      stride=None))
+            cfg, shape_spec.ShapeSpec(channels=channels, height=None,
+                                      width=None, stride=None))
         backbone_shape = backbone.output_shape()
 
         class _MB(nn.Module):
@@ -218,6 +218,111 @@ def build_reference_model(cfg, seed=0):
 
     composed = Composed().eval()
     return composed
+
+
+def build_vid_cfg():
+    """video_joint_r50.yaml deltas on top of the image config (yaml:2-37):
+    deformable reid head, detached reid, 4-channel extra template backbone,
+    SOT P3-P6 feature fusion."""
+    cfg = build_cfg()
+    cfg.DETACH_REID = True
+    cfg.USE_DEFORMABLE_REID_HEAD = True
+    cfg.N_LAYER_DEFORMABLE_REID = 2
+    cfg.SOT.EXTRA_BACKBONE_FOR_TEMPLATE = True
+    cfg.SOT.FEAT_FUSE = True
+    return cfg
+
+
+def build_reference_vid_model(cfg, seed=0):
+    """The composed reference VIDEO model (UNINEXT_VID composition,
+    uninext_vid.py:120-185): same DETR core, wrapped by DDETRSegmUniVIDDN
+    with the reid head + template machinery, plus the 4-channel
+    ref_backbone attached to the inner DeformableDETRDINO."""
+    import torch
+    torch.manual_seed(seed)
+
+    dt_dino = import_reference(
+        "uninext.models.deformable_detr.deformable_transformer_dino")
+    dd = import_reference("uninext.models.deformable_detr.deformable_detr")
+    ddn_vid = import_reference("uninext.models.ddetrs_vid_dn")
+    pe = import_reference("uninext.models.deformable_detr.position_encoding")
+    bk = import_reference("uninext.models.deformable_detr.backbone")
+    bm = import_reference("uninext.models.deformable_detr.bert_model")
+
+    hidden_dim = cfg.MODEL.DDETRS.HIDDEN_DIM
+    d2_backbone = MaskedBackboneEquiv(cfg)
+    backbone = bk.Joiner(d2_backbone,
+                         pe.PositionEmbeddingSine(hidden_dim // 2,
+                                                  normalize=True))
+    backbone.num_channels = d2_backbone.num_channels
+    backbone.strides = d2_backbone.feature_strides
+
+    transformer = dt_dino.DeformableTransformerVLDINO(
+        d_model=hidden_dim,
+        nhead=cfg.MODEL.DDETRS.NHEADS,
+        num_encoder_layers=cfg.MODEL.DDETRS.ENC_LAYERS,
+        num_decoder_layers=cfg.MODEL.DDETRS.DEC_LAYERS,
+        dim_feedforward=cfg.MODEL.DDETRS.DIM_FEEDFORWARD,
+        dropout=cfg.MODEL.DDETRS.DROPOUT,
+        activation="relu",
+        return_intermediate_dec=True,
+        num_feature_levels=cfg.MODEL.DDETRS.NUM_FEATURE_LEVELS,
+        dec_n_points=cfg.MODEL.DDETRS.DEC_N_POINTS,
+        enc_n_points=cfg.MODEL.DDETRS.ENC_N_POINTS,
+        two_stage=cfg.MODEL.DDETRS.TWO_STAGE,
+        two_stage_num_proposals=cfg.MODEL.DDETRS.TWO_STAGE_NUM_PROPOSALS,
+        use_checkpoint=cfg.MODEL.DDETRS.USE_CHECKPOINT,
+        look_forward_twice=cfg.MODEL.DDETRS.LOOK_FORWARD_TWICE,
+        mixed_selection=cfg.MODEL.DDETRS.MIXED_SELECTION,
+        cfg=cfg)
+
+    model = dd.DeformableDETRDINO(
+        backbone, transformer,
+        num_queries=cfg.MODEL.DDETRS.NUM_OBJECT_QUERIES,
+        num_feature_levels=cfg.MODEL.DDETRS.NUM_FEATURE_LEVELS,
+        aux_loss=cfg.MODEL.DDETRS.DEEP_SUPERVISION,
+        with_box_refine=True,
+        two_stage=cfg.MODEL.DDETRS.TWO_STAGE,
+        mixed_selection=cfg.MODEL.DDETRS.MIXED_SELECTION,
+        cfg=cfg)
+
+    # 4-channel template backbone (uninext_vid.py:160-167)
+    if cfg.SOT.EXTRA_BACKBONE_FOR_TEMPLATE:
+        d2_ref = MaskedBackboneEquiv(cfg, channels=4)
+        ref_backbone = bk.Joiner(d2_ref,
+                                 pe.PositionEmbeddingSine(hidden_dim // 2,
+                                                          normalize=True))
+        ref_backbone.num_channels = d2_backbone.num_channels
+        ref_backbone.strides = d2_backbone.feature_strides
+        model.ref_backbone = ref_backbone
+
+    detr = ddn_vid.DDETRSegmUniVIDDN(
+        model, rel_coord=True, ota=cfg.MODEL.OTA,
+        new_mask_head=cfg.MODEL.DDETRS.NEW_MASK_HEAD,
+        use_raft=cfg.MODEL.DDETRS.USE_RAFT,
+        mask_out_stride=cfg.MODEL.DDETRS.MASK_STRIDE,
+        template_sz=cfg.SOT.TEMPLATE_SZ,
+        extra_backbone_for_template=cfg.SOT.EXTRA_BACKBONE_FOR_TEMPLATE,
+        search_area_factor=cfg.SOT.SEARCH_AREA_FACTOR,
+        ref_feat_sz=cfg.SOT.REF_FEAT_SZ,
+        sot_feat_fusion=cfg.SOT.FEAT_FUSE,
+        use_iou_branch=cfg.MODEL.USE_IOU_BRANCH,
+        decouple_tgt=cfg.MODEL.DECOUPLE_TGT,
+        cfg=cfg)
+
+    text_encoder = _build_bert_encoder(bm, cfg, seed)
+
+    import torch.nn as nn
+    from collections import OrderedDict
+
+    class Composed(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.detr = detr
+            self.text_encoder = nn.Sequential(
+                OrderedDict([("body", text_encoder)]))
+
+    return Composed().eval()
 
 
 def _build_bert_encoder(bm, cfg, seed):

@@ -269,8 +269,16 @@ def image_joint_r50() -> UninextConfig:
 
 
 def video_joint_r50() -> UninextConfig:
-    """Stage-3: adds reid head + 2-frame clips (reference configs/video_joint_r50.yaml)."""
-    return dataclasses.replace(image_joint_r50(), use_reid=True)
+    """Stage-3: reid head + template machinery (video_joint_r50.yaml:2-37:
+    deformable reid head with detached inputs, 4-channel extra template
+    backbone, SOT P3-P6 feature fusion, frozen text encoder)."""
+    base = image_joint_r50()
+    return dataclasses.replace(
+        base, use_reid=True, use_deformable_reid=True,
+        n_layer_deformable_reid=2, detach_reid=True,
+        language=dataclasses.replace(base.language, freeze=True),
+        sot=dataclasses.replace(base.sot, extra_backbone_for_template=True,
+                                feature_fusion=True))
 
 
 def image_joint_convnext_large() -> UninextConfig:

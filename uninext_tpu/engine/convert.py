@@ -391,9 +391,33 @@ def convert_mask_head(sd: Dict, tree: Dict, report: Dict,
     # DN dynamic label encoder (DDETRSegmUniDN.resizer)
     _dense(sd, src + "resizer.fc", tree, ["dn_resizer", "fc"], report)
     _ln(sd, src + "resizer.layer_norm", tree, ["dn_resizer", "ln"], report)
-    # video reid head (DDETRSegmUniVID.reid_embed_head)
-    _mlp(sd, src + "reid_embed_head", tree, ["reid_embed"], report)
+    # video-specific params (DDETRSegmUniVIDDN, ddetrs_vid_dn.py:30-64)
     _dense(sd, src + "adjust_layer", tree, ["adjust_layer"], report)
+    if f"{src}reid_embed_head.layers.0.weight" in sd:
+        # plain MLP reid head
+        _mlp(sd, src + "reid_embed_head", tree, ["reid_embed"], report)
+    elif f"{src}reid_embed_head.1.layers.0.weight" in sd:
+        # USE_DEFORMABLE_REID_HEAD: [0]=DeformableReidHead, [1]=MLP
+        i = 0
+        while f"{src}reid_embed_head.0.layers.{i}.norm1.weight" in sd:
+            lp = f"{src}reid_embed_head.0.layers.{i}"
+            d = [f"reid_dec_{i}"]
+            _msda(sd, lp + ".cross_attn", tree, d + ["cross_attn"], report)
+            _mha(sd, lp + ".self_attn", tree, d + ["self_attn"], report)
+            for nm in ("norm1", "norm2", "norm3"):
+                _ln(sd, f"{lp}.{nm}", tree, d + [nm], report)
+            _dense(sd, lp + ".linear1", tree, d + ["linear1"], report)
+            _dense(sd, lp + ".linear2", tree, d + ["linear2"], report)
+            i += 1
+        _mlp(sd, src + "reid_embed_head.0.ref_point_head", tree,
+             ["reid_ref_point_head"], report, 2)
+        _mlp(sd, src + "reid_embed_head.1", tree, ["reid_embed"], report)
+    # SOT FeatureFuser (SOT.FEAT_FUSE; ddetrs_vid_dn.py:880)
+    i = 0
+    while f"{src}sot_fuser.refine.{i}.weight" in sd:
+        _conv(sd, f"{src}sot_fuser.refine.{i}", tree,
+              ["sot_fuser", f"refine_{i}"], report)
+        i += 1
 
 
 def convert_checkpoint(state_dict: Dict, params: Dict) -> Tuple[Dict, Dict]:
@@ -432,6 +456,16 @@ def convert_checkpoint(state_dict: Dict, params: Dict) -> Tuple[Dict, Dict]:
 
     rec = _RecordingDict(state_dict)
     convert_resnet(rec, tree, report)
+    # 4-channel template backbone (UNINEXT_VID ref_backbone,
+    # uninext_vid.py:160-167)
+    if any(k.startswith("detr.detr.ref_backbone.") for k in state_dict):
+        # same backbone family as the main branch: ResNet or D2ViT
+        convert_resnet(rec, tree, report,
+                       src_prefix="detr.detr.ref_backbone.0.backbone.",
+                       dst_root="template_backbone")
+        convert_vit(rec, tree, report,
+                    src_prefix="detr.detr.ref_backbone.0.backbone.",
+                    dst_root="template_backbone")
     convert_vit(rec, tree, report)
     convert_convnext(rec, tree, report)
     convert_bert(rec, tree, report)

@@ -29,15 +29,28 @@ from ..models.sot import crop_template
 from ..utils import box_ops
 
 
-def make_template_encoder(model: UninextDETR, cfg: UninextConfig):
+def make_template_encoder(model: UninextDETR, cfg: UninextConfig,
+                          with_gt_mask: bool = False):
+    """Template prompt encoder. With EXTRA_BACKBONE_FOR_TEMPLATE the crop
+    carries the reference's 4th channel (gt mask for VOS, box-filled region
+    for SOT; ddetrs_vid_dn.py get_template_4c) and the crop pad mask feeds
+    the prompt validity masks."""
+    mask_channel = cfg.sot.extra_backbone_for_template
+
     @jax.jit
-    def encode(params, image, box_xyxy):
-        """image: (1, H, W, 3) normalized; box_xyxy: (1, 4) input pixels."""
-        crop = crop_template(image, box_xyxy, cfg.sot.template_size,
-                             cfg.sot.search_area_factor)
-        return model.apply({"params": params}, crop,
+    def encode(params, image, box_xyxy, gt_mask=None):
+        """image: (1, H, W, 3) normalized; box_xyxy: (1, 4) input pixels;
+        gt_mask: optional (1, H, W) {0,1} object mask (VOS init)."""
+        crop, pad = crop_template(image, box_xyxy, cfg.sot.template_size,
+                                  cfg.sot.search_area_factor,
+                                  gt_masks=gt_mask,
+                                  mask_channel=mask_channel)
+        return model.apply({"params": params}, crop, pad,
                            method=UninextDETR.encode_template)
-    return encode
+
+    if with_gt_mask:
+        return encode
+    return lambda params, image, box_xyxy: encode(params, image, box_xyxy)
 
 
 def make_sot_frame_step(model: UninextDETR, cfg: UninextConfig,
@@ -129,22 +142,28 @@ class VOSDriver:
     def __init__(self, model, params, cfg: UninextConfig, H: int, W: int):
         self.cfg = cfg
         self.params = params
-        self.encode = make_template_encoder(model, cfg)
+        self.encode = make_template_encoder(model, cfg, with_gt_mask=True)
         self.step = make_sot_frame_step(model, cfg, H, W, with_mask=True)
 
     def run_video(self, frames, img_mask, sizes,
                   init_per_object: Dict[int, Dict]) -> List[np.ndarray]:
-        """init_per_object: {obj_id: {frame: int, box_xyxy: (4,)}}.
-        Returns per-frame (H, W) uint8 label maps."""
+        """init_per_object: {obj_id: {frame: int, box_xyxy: (4,),
+        mask: optional (H, W) {0,1} first-frame annotation}}. The gt mask
+        feeds the template's 4th channel (reference coco_inference_ref_vos,
+        ddetrs_vid_dn.py:547-597). Returns per-frame (H, W) uint8 label
+        maps."""
         templates: Dict[int, Dict] = {}
         h, w = int(sizes[0, 0]), int(sizes[0, 1])
         outputs = []
         for fi in range(len(frames)):
             for oid, init in init_per_object.items():
                 if init["frame"] == fi:
+                    gm = init.get("mask")
+                    if gm is not None:
+                        gm = jnp.asarray(np.asarray(gm, np.float32)[None])
                     templates[oid] = self.encode(
                         self.params, frames[fi],
-                        jnp.asarray(np.asarray(init["box_xyxy"])[None]))
+                        jnp.asarray(np.asarray(init["box_xyxy"])[None]), gm)
             if not templates:
                 outputs.append(np.zeros((h, w), np.uint8))
                 continue

@@ -64,8 +64,10 @@ def make_vis_frame_step(model: UninextDETR, cfg: UninextConfig,
         masks = model.apply({"params": params}, out["memory"], shapes,
                             sel_hs, sel_ref, sizes,
                             method=UninextDETR.predict_masks)  # (1,K,h,w)
-        embeds = model.apply({"params": params}, sel_hs,
-                             method=lambda m, x: m.reid_embed(x))
+        # full reid path (deformable reid decoder when configured) comes
+        # precomputed for all queries in the forward (inference_outputs)
+        embeds = jnp.take_along_axis(out["pred_embeds"],
+                                     top_q[None, :, None], axis=1)
         return {
             "query_idx": top_q, "valid": valid,
             "scores_full": jnp.take_along_axis(

@@ -174,7 +174,17 @@ def init_all_paths(model: "UninextDETR", rng: jax.Array,
         nch = 4 if c.sot.extra_backbone_for_template else 3
         lang = mod.encode_template(jnp.zeros((B, ts, ts, nch), jnp.float32))
         if c.use_reid:
-            _ = mod.reid_embed(jnp.zeros((B, 4, c.transformer.d_model)))
+            # full reid path so USE_DEFORMABLE_REID_HEAD params exist
+            d = c.transformer.d_model
+            L = c.transformer.num_feature_levels
+            ss = tuple((4, 4) for _ in range(L))
+            S = sum(h * w for h, w in ss)
+            _ = mod.compute_reid(
+                jnp.zeros((B, 4, d)),
+                jnp.full((B, 4, 4), 0.5),
+                jnp.zeros((B, S, d)), ss,
+                jnp.zeros((B, S), bool),
+                jnp.ones((B, L, 2)))
         return losses
 
     return model.init({"params": rng, "dn": jax.random.fold_in(rng, 7)},
@@ -190,33 +200,36 @@ class UninextDETR(nn.Module):
         dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
         self.compute_dtype = dtype
 
-        if c.backbone.name == "resnet50":
-            self.backbone = ResNet(depth=50, in_channels=c.backbone.in_channels,
-                                   dtype=dtype, name="backbone")
-        elif c.backbone.name == "convnext_large":
-            from .convnext import ConvNeXt
-            self.backbone = ConvNeXt(
-                depths=c.backbone.convnext_depths,
-                dims=c.backbone.convnext_dims,
-                drop_path_rate=c.backbone.drop_path_rate,
-                in_channels=c.backbone.in_channels,
-                dtype=dtype, name="backbone")
-        elif c.backbone.name == "vit_huge":
-            from .vit import ViT
-            self.backbone = ViT(
-                patch_size=c.backbone.vit_patch_size,
-                embed_dim=c.backbone.vit_embed_dim,
-                depth=c.backbone.vit_depth,
-                num_heads=c.backbone.vit_num_heads,
-                window_size=c.backbone.vit_window_size,
-                global_blocks=c.backbone.vit_global_blocks,
-                drop_path_rate=c.backbone.vit_drop_path_rate,
-                global_q_chunk_rows=c.backbone.vit_global_q_rows,
-                use_flash=c.backbone.vit_flash_attn,
-                in_channels=c.backbone.in_channels,
-                dtype=dtype, name="backbone")
-        else:
-            raise NotImplementedError(c.backbone.name)
+        def build_backbone(in_channels, name):
+            if c.backbone.name == "resnet50":
+                return ResNet(depth=50, in_channels=in_channels,
+                              dtype=dtype, name=name)
+            elif c.backbone.name == "convnext_large":
+                from .convnext import ConvNeXt
+                return ConvNeXt(
+                    depths=c.backbone.convnext_depths,
+                    dims=c.backbone.convnext_dims,
+                    drop_path_rate=c.backbone.drop_path_rate,
+                    in_channels=in_channels,
+                    dtype=dtype, name=name)
+            elif c.backbone.name == "vit_huge":
+                from .vit import ViT
+                return ViT(
+                    patch_size=c.backbone.vit_patch_size,
+                    embed_dim=c.backbone.vit_embed_dim,
+                    depth=c.backbone.vit_depth,
+                    num_heads=c.backbone.vit_num_heads,
+                    window_size=c.backbone.vit_window_size,
+                    global_blocks=c.backbone.vit_global_blocks,
+                    drop_path_rate=c.backbone.vit_drop_path_rate,
+                    global_q_chunk_rows=c.backbone.vit_global_q_rows,
+                    use_flash=c.backbone.vit_flash_attn,
+                    in_channels=in_channels,
+                    dtype=dtype, name=name)
+            else:
+                raise NotImplementedError(c.backbone.name)
+
+        self.backbone = build_backbone(c.backbone.in_channels, "backbone")
 
         n_backbone = len(c.backbone.out_channels)
         projs = []
@@ -279,33 +292,45 @@ class UninextDETR(nn.Module):
         self.adjust_layer = nn.Dense(c.language.hidden_dim,
                                      name="adjust_layer")
         if c.sot.extra_backbone_for_template:
-            self.template_backbone = ResNet(
-                depth=50, in_channels=4, dtype=dtype,
-                name="template_backbone")
+            # the reference builds the template branch from the SAME backbone
+            # family with 4 input channels (uninext_vid.py:160-167
+            # MaskedBackbone(cfg, ShapeSpec(channels=4)) — a 4ch ViT for the
+            # ViT-H config, 4ch ResNet for R50)
+            self.template_backbone = build_backbone(4, "template_backbone")
         if c.sot.feature_fusion:
             from .sot import FeatureFuser
             self.sot_fuser = FeatureFuser(t.d_model, dtype=dtype,
                                           name="sot_fuser")
 
     # ------------------------------------------------------------------
-    def encode_template(self, template_images: jnp.ndarray) -> Dict:
+    def encode_template(self, template_images: jnp.ndarray,
+                        template_pad_mask: Optional[jnp.ndarray] = None
+                        ) -> Dict:
         """Template crops -> pseudo-language prompt.
 
-        template_images: (B, S, S, 3|4) normalized crops. Returns a language
-        dict {hidden (B, L*r*r, 768), masks (B, L*r*r)} — parity with
-        ddetrs_vid.py:244-253 (per-level resize to ref_feat_size^2, concat,
-        adjust_layer)."""
+        template_images: (B, S, S, 3|4) normalized crops; template_pad_mask:
+        optional (B, S, S) True = crop padding (from models/sot.py
+        crop_template). Parity with ddetrs_vid_dn.py coco_inference_ref
+        :497-545: without FEAT_FUSE, each level is NEAREST-resized to
+        ref_feat_size^2 and concatenated (L*r*r tokens); with FEAT_FUSE
+        (the video flagship) the fused P3-P6 map is flattened at FULL
+        stride-8 resolution. Prompt masks come from the nearest-downsampled
+        crop pad mask (~masks semantics), not all-ones."""
         from .sot import resize_level
         c = self.cfg
         t = c.transformer
+        B, S = template_images.shape[:2]
         if c.sot.extra_backbone_for_template and template_images.shape[-1] == 4:
-            feats = self.template_backbone(template_images)
+            feats = self._backbone_feats(self.template_backbone,
+                                         template_images, train=False)
         else:
             feats = self._backbone_feats(self.backbone, template_images,
                                          train=False)
         level_feats = [feats[f"res{i+3}"]
                        for i in range(len(c.backbone.out_channels))]
-        levels = []
+        if template_pad_mask is None:
+            template_pad_mask = jnp.zeros((B, S, S), bool)
+        levels, lmasks = [], []
         r = c.sot.ref_feat_size
         for i in range(t.num_feature_levels):
             if i < len(level_feats):
@@ -316,19 +341,25 @@ class UninextDETR(nn.Module):
                 x = self.input_norm[i](self.input_proj[i](prev))
             prev = x
             levels.append(x)
+            lmasks.append(_downsample_mask(template_pad_mask,
+                                           (x.shape[1], x.shape[2])))
         if c.sot.feature_fusion:
-            # SOT.FEAT_FUSE: fuse P3-P6 into one map -> r*r tokens
+            # SOT.FEAT_FUSE: fuse P3-P6 into one stride-8 map and keep EVERY
+            # token (the reference flattens the full map, :530-532)
             fused = self.sot_fuser(levels)
-            tok = resize_level(fused, r).reshape(fused.shape[0], r * r,
-                                                 t.d_model)
+            tok = fused.reshape(B, -1, t.d_model)
+            pad = lmasks[0].reshape(B, -1)
         else:
-            tokens = [resize_level(x, r).reshape(x.shape[0], r * r, t.d_model)
+            tokens = [resize_level(x, r).reshape(B, r * r, t.d_model)
                       for x in levels]
             tok = jnp.concatenate(tokens, axis=1)        # (B, L*r*r, 256)
+            pad = jnp.concatenate(
+                [resize_level(m[..., None].astype(jnp.float32), r)
+                 .reshape(B, r * r) > 0 for m in lmasks], axis=1)
         hidden = self.adjust_layer(tok.astype(jnp.float32))
-        masks = jnp.ones(hidden.shape[:2], jnp.int32)
+        masks = (~pad).astype(jnp.int32)
         return {"hidden": hidden, "masks": masks,
-                "aggregate": hidden.mean(axis=1)}
+                "aggregate": agg_lang_feat(hidden, masks)}
 
     def encode_text(self, text_ids, text_mask):
         out = self.bert(text_ids, text_mask)
@@ -449,6 +480,7 @@ class UninextDETR(nn.Module):
             trans, task, lang["masks"])
 
         pad = dn_tgt.shape[1] if use_dn else 0
+        from .transformer import compute_valid_ratios
         outputs = {
             "spatial_shapes": spatial_shapes,
             "memory": trans["memory"],
@@ -456,6 +488,12 @@ class UninextDETR(nn.Module):
             "enc_coord_unact": trans["enc_coord_unact"],
             "lang_hidden": trans["lang_hidden"],
             "lang_pool": lang_pool,
+            # deformable reid head inputs (reference src_info +
+            # inter_references[-1], ddetrs_dn.py:388-391)
+            "final_reference": trans["inter_references"][-1][:, pad:],
+            "mask_flatten": jnp.concatenate(
+                [m.reshape(m.shape[0], -1) for m in masks], 1),
+            "valid_ratios": compute_valid_ratios(masks),
         }
         # split dn part from matching part
         outputs["layers"] = []
@@ -758,7 +796,12 @@ class UninextDETR(nn.Module):
         if self.cfg.transformer.use_iou_branch:
             out["pred_boxious"] = layer["pred_boxious"]
         if self.cfg.use_reid:
-            out["pred_embeds"] = self.reid_embed(layer["hs"])
+            # full reid path incl. the deformable reid decoder when
+            # configured (reference inference: ddetrs_dn.py:449-457)
+            out["pred_embeds"] = self.compute_reid(
+                layer["hs"], outputs["final_reference"], outputs["memory"],
+                outputs["spatial_shapes"], outputs["mask_flatten"],
+                outputs["valid_ratios"])
         return out
 
     def compute_reid(self, hs, refs, memory=None, spatial_shapes=None,

@@ -23,48 +23,131 @@ import jax
 import jax.numpy as jnp
 
 
-def bilinear_sample(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
-                    ) -> jnp.ndarray:
-    """img: (H, W, C); ys/xs: (h, w) pixel coords. Zero padding outside."""
-    H, W, C = img.shape
-    y0 = jnp.floor(ys)
-    x0 = jnp.floor(xs)
-    fy = (ys - y0)[..., None]
-    fx = (xs - x0)[..., None]
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-
-    def at(yi, xi):
-        valid = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W))[..., None]
-        v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
-        return jnp.where(valid, v, 0.0)
-
-    return ((1 - fy) * (1 - fx) * at(y0i, x0i)
-            + (1 - fy) * fx * at(y0i, x0i + 1)
-            + fy * (1 - fx) * at(y0i + 1, x0i)
-            + fy * fx * at(y0i + 1, x0i + 1))
+def _interp_taps(coords: jnp.ndarray, size: jnp.ndarray):
+    """F.interpolate(bilinear, align_corners=False) tap math over a length-
+    `size` axis (size may be traced): torch clamps the SOURCE COORDINATE at
+    the lower border (area_pixel_compute_source_index's max with 0 -> frac
+    becomes 0 there), and tap indices at [0, size-1] — no zero padding at
+    the resize stage."""
+    coords = jnp.maximum(coords, 0.0)
+    lo = jnp.floor(coords)
+    frac = coords - lo
+    size_i = size.astype(jnp.int32) if hasattr(size, "astype") else size
+    lo_i = jnp.clip(lo.astype(jnp.int32), 0, size_i - 1)
+    hi_i = jnp.clip(lo_i + 1, 0, size_i - 1)
+    return lo_i, hi_i, frac
 
 
 def crop_template(images: jnp.ndarray, boxes_xyxy: jnp.ndarray,
                   template_size: int = 256,
-                  search_area_factor: float = 2.0) -> jnp.ndarray:
-    """images: (B, H, W, C); boxes_xyxy: (B, 4) in input pixels.
-    Returns (B, template_size, template_size, C) crops."""
-    def one(img, box):
-        x0, y0, x1, y1 = box
-        cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
-        w = jnp.maximum(x1 - x0, 1.0)
-        h = jnp.maximum(y1 - y0, 1.0)
-        s = jnp.sqrt(w * h) * search_area_factor
-        t = template_size
-        # pixel centers of the resized crop mapped back to source coords
-        u = (jnp.arange(t, dtype=jnp.float32) + 0.5) / t - 0.5
-        ys = cy + u * s - 0.5
-        xs = cx + u * s - 0.5
-        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-        return bilinear_sample(img, gy, gx)
+                  search_area_factor: float = 2.0,
+                  gt_masks: Optional[jnp.ndarray] = None,
+                  mask_channel: bool = False,
+                  pad_masks: Optional[jnp.ndarray] = None):
+    """Reference-exact template crop (ddetrs_vid_dn.py get_template :66-93 /
+    get_template_4c :95-139).
 
-    return jax.vmap(one)(images, boxes_xyxy.astype(jnp.float32))
+    Semantics mirrored exactly:
+      * integer crop window: crop_sz = ceil(sqrt(w*h)*factor),
+        x1 = round(cx - crop_sz/2); window [x1, x1+crop_sz) zero-padded,
+        with the reference's boundary quirk that content stops at
+        min(x2, W-1) (its pad amount is computed as x2 - (W-1)).
+      * the padded crop is resized to template_size^2 with
+        F.interpolate(bilinear, align_corners=False): taps CLAMP at the crop
+        border (replicate), zeros only come from the pad INSIDE the window.
+      * pad-mask channel: the image pad mask is cropped the same way with
+        pad value 1, bilinear-resized, then thresholded (torch .bool():
+        nonzero -> True).
+      * optional 4th channel (VOS / extra template backbone): the gt mask
+        cropped with zero pad, or — when no gt mask exists — the target-box
+        region of the crop set to 1 before the resize.
+
+    images: (B, H, W, 3); boxes_xyxy: (B, 4) input pixels; gt_masks:
+    optional (B, H, W) in {0,1}; pad_masks: optional (B, H, W) True=pad.
+    Returns (crop (B, t, t, 3+mask_channel), pad (B, t, t) bool)."""
+    B, H, W, _ = images.shape
+    t = template_size
+
+    def one(img, box, gmask, pmask):
+        x0, y0, x1b, y1b = box
+        w = x1b - x0
+        h = y1b - y0
+        crop_sz = jnp.ceil(jnp.sqrt(w * h) * search_area_factor)
+        xa = jnp.round(x0 + 0.5 * w - crop_sz * 0.5)
+        ya = jnp.round(y0 + 0.5 * h - crop_sz * 0.5)
+        xb = xa + crop_sz
+        yb = ya + crop_sz
+
+        # resize grid in crop space, then taps clamped to the crop window
+        u = (jnp.arange(t, dtype=jnp.float32) + 0.5) * (crop_sz / t) - 0.5
+        cy0, cy1, fy = _interp_taps(u, crop_sz)
+        cx0, cx1, fx = _interp_taps(u, crop_sz)
+
+        # gather helper: (t,) y-taps x (t,) x-taps -> (t, t, C)
+        def sample(chan, fill):
+            """chan: (H, W, C); fill: pad value inside the window but outside
+            the image content range."""
+            def at(cy, cx):
+                sy = ya.astype(jnp.int32) + cy
+                sx = xa.astype(jnp.int32) + cx
+                vy = (sy >= 0) & (sy < jnp.minimum(yb.astype(jnp.int32),
+                                                   H - 1))
+                vx = (sx >= 0) & (sx < jnp.minimum(xb.astype(jnp.int32),
+                                                   W - 1))
+                v = chan[jnp.clip(sy, 0, H - 1)[:, None],
+                         jnp.clip(sx, 0, W - 1)[None, :]]
+                ok = (vy[:, None] & vx[None, :])[..., None]
+                return jnp.where(ok, v, fill)
+
+            fyc = fy[:, None, None]
+            fxc = fx[None, :, None]
+            return ((1 - fyc) * (1 - fxc) * at(cy0, cx0)
+                    + (1 - fyc) * fxc * at(cy0, cx1)
+                    + fyc * (1 - fxc) * at(cy1, cx0)
+                    + fyc * fxc * at(cy1, cx1))
+
+        crop = sample(img, 0.0)
+        pm = (pmask if pmask is not None
+              else jnp.zeros((H, W), jnp.float32))[..., None]
+        pad = sample(pm.astype(jnp.float32), 1.0)[..., 0] > 0
+
+        if mask_channel:
+            if gmask is not None:
+                mc = sample(gmask.astype(jnp.float32)[..., None], 0.0)
+            else:
+                # box region (crop space) set to 1 before the resize:
+                # x1_t = round(x - xa) .. x2_t = round(x1_t + w)
+                x1_t = jnp.round(x0 - xa)
+                x2_t = x1_t + jnp.round(w)
+                y1_t = jnp.round(y0 - ya)
+                y2_t = y1_t + jnp.round(h)
+
+                def boxat(cy, cx):
+                    inside = (((cy >= y1_t) & (cy < y2_t))[:, None]
+                              & ((cx >= x1_t) & (cx < x2_t))[None, :])
+                    return inside.astype(jnp.float32)[..., None]
+
+                fyc = fy[:, None, None]
+                fxc = fx[None, :, None]
+                mc = ((1 - fyc) * (1 - fxc) * boxat(cy0, cx0)
+                      + (1 - fyc) * fxc * boxat(cy0, cx1)
+                      + fyc * (1 - fxc) * boxat(cy1, cx0)
+                      + fyc * fxc * boxat(cy1, cx1))
+            crop = jnp.concatenate([crop, mc.astype(crop.dtype)], -1)
+        return crop, pad
+
+    boxes = boxes_xyxy.astype(jnp.float32)
+    if gt_masks is None and pad_masks is None:
+        out = jax.vmap(lambda i, b: one(i, b, None, None))(images, boxes)
+    elif gt_masks is None:
+        out = jax.vmap(lambda i, b, p: one(i, b, None, p))(
+            images, boxes, pad_masks)
+    elif pad_masks is None:
+        out = jax.vmap(lambda i, b, g: one(i, b, g, None))(
+            images, boxes, gt_masks)
+    else:
+        out = jax.vmap(one)(images, boxes, gt_masks, pad_masks)
+    return out
 
 
 class FeatureFuser(nn.Module):
@@ -90,21 +173,11 @@ class FeatureFuser(nn.Module):
 
 
 def resize_level(x: jnp.ndarray, out: int) -> jnp.ndarray:
-    """(B, H, W, C) -> (B, out, out, C) bilinear (half-pixel centers) via two
-    interpolation matmuls (MXU-friendly)."""
+    """(B, H, W, C) -> (B, out, out, C) NEAREST — torch F.interpolate's
+    default mode, which the reference uses for the per-level template resize
+    (ddetrs_vid_dn.py:536: F.interpolate(srcs_ref[n_l], size=(8, 8)));
+    src index = floor(i * in / out)."""
     B, H, W, C = x.shape
-
-    def matrix(in_size):
-        coords = (jnp.arange(out) + 0.5) * in_size / out - 0.5
-        lo = jnp.floor(coords)
-        frac = coords - lo
-        lo_i = jnp.clip(lo.astype(jnp.int32), 0, in_size - 1)
-        hi_i = jnp.clip(lo_i + 1, 0, in_size - 1)
-        M = (jnp.zeros((out, in_size))
-             .at[jnp.arange(out), lo_i].add(1 - frac)
-             .at[jnp.arange(out), hi_i].add(frac))
-        return M
-
-    My = matrix(H).astype(x.dtype)
-    Mx = matrix(W).astype(x.dtype)
-    return jnp.einsum("oh,bhwc,pw->bopc", My, x, Mx)
+    iy = (jnp.arange(out) * H) // out
+    ix = (jnp.arange(out) * W) // out
+    return x[:, iy][:, :, ix]
