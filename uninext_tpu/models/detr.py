@@ -187,8 +187,10 @@ def init_all_paths(model: "UninextDETR", rng: jax.Array,
                 jnp.ones((B, L, 2)))
         return losses
 
-    return model.init({"params": rng, "dn": jax.random.fold_in(rng, 7)},
-                      method=all_paths)
+    # jitted: eager flax init dispatches thousands of ops one-by-one, which
+    # is pathological through a high-latency device tunnel (and slow on CPU)
+    return jax.jit(lambda rngs: model.init(rngs, method=all_paths))(
+        {"params": rng, "dn": jax.random.fold_in(rng, 7)})
 
 
 class UninextDETR(nn.Module):
