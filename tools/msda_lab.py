@@ -60,12 +60,20 @@ def honest_time(fn, args, perturb):
 
 
 def make_inputs(dtype=jnp.float32, seed=0):
-    rng = np.random.RandomState(seed)
-    value = jnp.array(rng.randn(B, S, M, D), dtype)
-    loc = jnp.array(rng.rand(B, Lq, M, L, P, 2), jnp.float32)
-    att = jnp.array(rng.rand(B, Lq, M, L, P), jnp.float32)
-    att = att / att.sum(axis=(-1, -2), keepdims=True)
-    return value, loc, att
+    """Generated ON DEVICE (jitted PRNG): the tunnel's host->device transfer
+    can degrade to <1 MB/s, which would dominate any host-side generation."""
+    @jax.jit
+    def gen(key):
+        kv, kl, ka = jax.random.split(key, 3)
+        value = jax.random.normal(kv, (B, S, M, D), dtype)
+        loc = jax.random.uniform(kl, (B, Lq, M, L, P, 2), jnp.float32)
+        att = jax.random.uniform(ka, (B, Lq, M, L, P), jnp.float32)
+        att = att / att.sum(axis=(-1, -2), keepdims=True)
+        return value, loc, att
+
+    out = gen(jax.random.PRNGKey(seed))
+    jax.block_until_ready(out)
+    return out
 
 
 def perturb_loc(i, a):

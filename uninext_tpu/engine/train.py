@@ -69,7 +69,9 @@ def weighted_total(losses: Dict[str, jnp.ndarray],
 def create_train_state(cfg: UninextConfig, rng: jax.Array,
                        sample_batch: Dict[str, jnp.ndarray],
                        task: str = "detection",
-                       has_masks: bool = True) -> Tuple[UninextDETR, TrainState]:
+                       has_masks: bool = True,
+                       mesh: Mesh | None = None,
+                       tp: bool = False) -> Tuple[UninextDETR, TrainState]:
     model = UninextDETR(cfg)
     targets = {k: v for k, v in sample_batch["targets"].items()
                if k != "has_masks"}
@@ -86,16 +88,25 @@ def create_train_state(cfg: UninextConfig, rng: jax.Array,
     params = init_fn(rng, sample_batch, traced_targets)["params"]
     tx = build_optimizer(cfg.solver, params)
     opt_state = tx.init(params)
+    if tp and mesh is not None and mesh.shape.get("model", 1) > 1:
+        # Megatron-style TP of the heavy towers (parallel/sharding.py):
+        # params AND Adam mu/nu redistribute onto the "model" axis
+        from ..parallel.sharding import shard_tree
+        params = shard_tree(params, mesh)
+        opt_state = shard_tree(opt_state, mesh)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=opt_state, tx=tx)
     return model, state
 
 
 def make_train_step(model: UninextDETR, cfg: UninextConfig, task: str,
-                    mesh: Mesh | None = None, has_masks: bool = True):
+                    mesh: Mesh | None = None, has_masks: bool = True,
+                    tp: bool = False):
     """`has_masks` is static (compiled into the step); the batch pytree must
     contain only arrays — no python scalars (sharding annotations apply to
-    every leaf)."""
+    every leaf). With `tp`, the state must arrive committed to its
+    tensor-parallel shardings (create_train_state(..., tp=True)); the jit
+    inherits them instead of forcing replication."""
     weights = loss_weights(cfg)
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
@@ -123,6 +134,11 @@ def make_train_step(model: UninextDETR, cfg: UninextConfig, task: str,
 
     batch_sharding = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
+    if tp:
+        # None = inherit the argument's committed (TP) shardings
+        return jax.jit(step_fn,
+                       in_shardings=(None, batch_sharding, repl),
+                       donate_argnums=0)
     return jax.jit(
         step_fn,
         in_shardings=(repl, batch_sharding, repl),

@@ -3,9 +3,12 @@
 The reference's only parallelism is data parallelism over NCCL DDP
 (detectron2/engine/launch.py:27-123, SURVEY.md §2.5). The TPU-native
 equivalent: one jax Mesh with a ("data", "model") layout; batches are sharded
-over "data", parameters are replicated (model axis reserved for future TP of
-the ViT-H backbone). Gradient all-reduce is inserted by XLA from the sharding
-annotations — there is no explicit collective in the train step.
+over "data"; the "model" axis carries sequence parallelism of the encoder
+(transformer.sp_encoder) and Megatron-style tensor parallelism of the heavy
+towers (parallel/sharding.py — ViT-H/BERT column/row-parallel linears with
+sharded Adam state). Gradient all-reduce and the TP collectives are inserted
+by XLA GSPMD from the sharding annotations — there is no explicit collective
+in the train step.
 
 Multi-host: call `jax.distributed.initialize()` before `create_mesh`; the
 mesh spans all processes and data loading shards per host
