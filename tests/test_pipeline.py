@@ -81,5 +81,12 @@ def test_video_pair_mapper(coco_dir):
     batch = collate_video([(key_s, ref_s)])
     assert batch["images_key"].shape == batch["images_ref"].shape
     assert batch["targets_key"]["boxes"].shape == (1, 8, 4)
-    np.testing.assert_allclose(batch["targets_key"]["boxes"],
-                               batch["targets_ref"]["boxes"], atol=1e-6)
+    # pseudo-videos augment each frame INDEPENDENTLY (reference
+    # DetrDatasetMapperUniCLIP), so the frames may differ by an hflip:
+    # cy/w/h always agree, cx agrees either directly or mirrored.
+    kb = np.asarray(batch["targets_key"]["boxes"][0])
+    rb = np.asarray(batch["targets_ref"]["boxes"][0])
+    np.testing.assert_allclose(kb[:, 1:], rb[:, 1:], atol=1e-6)
+    same = np.allclose(kb[:3, 0], rb[:3, 0], atol=1e-6)
+    mirrored = np.allclose(kb[:3, 0], 1.0 - rb[:3, 0], atol=1e-6)
+    assert same or mirrored, (kb[:3, 0], rb[:3, 0])

@@ -334,3 +334,33 @@ def test_vos_driver_davis_pngs(tiny_model, davis_dir, tmp_path):
         assert back.dtype == np.uint8
         assert set(np.unique(back)) <= {0, 1, 2}
         np.testing.assert_array_equal(back, lm)
+
+
+def test_vos_driver_3f_online_update(tiny_model, davis_dir):
+    """INFERENCE_ON_3F (reference inference_ytbvos_3f): init+prev template
+    concat per frame, prev refreshed from the merged prediction."""
+    import dataclasses
+    from uninext_tpu.engine.sot_inference import VOSDriver
+
+    model, params, cfg = tiny_model
+    cfg3 = dataclasses.replace(
+        cfg, sot=dataclasses.replace(cfg.sot, inference_on_3f=True,
+                                     update_threshold=-1.0))
+    vdir = davis_dir / "JPEGImages" / "480p" / "toyvid"
+    fns = sorted(str(p) for p in vdir.glob("*.jpg"))
+    frames = [jnp.asarray(_norm_frame(fn)[0]) for fn in fns]
+    _, (h, w) = _norm_frame(fns[0])
+    sizes = jnp.asarray(np.array([[h, w]], np.int32))
+    img_masks = jnp.asarray(
+        ~(np.arange(H)[:, None] < h) | ~(np.arange(W)[None] < w))[None]
+    init = {1: {"frame": 0,
+                "box_xyxy": np.array([4.0, 4.0, 40.0, 40.0], np.float32)},
+            2: {"frame": 1,        # appears mid-video
+                "box_xyxy": np.array([50.0, 10.0, 90.0, 50.0], np.float32)}}
+    drv = VOSDriver(model, params, cfg3, H, W)
+    label_maps = drv.run_video(frames, img_masks, sizes, init)
+    assert len(label_maps) == 3
+    for lm in label_maps:
+        assert lm.shape == (h, w)            # full-res merge
+        assert set(np.unique(lm)) <= {0, 1, 2}
+    assert 2 not in np.unique(label_maps[0])   # not initialized yet

@@ -73,3 +73,37 @@ def test_train_net_eval_only(tmp_path, monkeypatch, capsys):
     res = json.loads("\n".join(out[out.index("{"):])) if "{" in out else \
         json.loads("\n".join(out))
     assert "AP" in res
+
+
+def test_eval_video_vos_cli(tmp_path, monkeypatch, capsys):
+    """eval_video.py --task vos walks a DAVIS-layout directory, writes
+    palette PNGs and prints J&F (reference eval-vid workflow)."""
+    from uninext_tpu.evaluation.davis_eval import davis_palette
+    root = tmp_path / "DAVIS"
+    vdir = root / "JPEGImages" / "480p" / "toyvid"
+    adir = root / "Annotations" / "480p" / "toyvid"
+    vdir.mkdir(parents=True)
+    adir.mkdir(parents=True)
+    rng = np.random.RandomState(3)
+    for fi in range(3):
+        arr = (rng.rand(72, 104, 3) * 255).astype(np.uint8)
+        arr[10:34, 12:42] = (200, 30, 30)
+        Image.fromarray(arr).save(vdir / f"{fi:05d}.jpg")
+    ann = np.zeros((72, 104), np.uint8)
+    ann[10:34, 12:42] = 1
+    pimg = Image.fromarray(ann, mode="P")
+    pimg.putpalette(davis_palette().ravel().tolist())
+    pimg.save(adir / "00000.png")
+
+    import eval_video
+    out = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv", [
+        "eval_video.py", "--task", "vos", "--data-root", str(root),
+        "--config", "tiny_test_config", "--bucket", "96", "128",
+        "--output-dir", str(out)])
+    eval_video.main()
+    txt = capsys.readouterr().out
+    assert "J&F" in txt
+    pngs = list((out / "toyvid").glob("*.png"))
+    assert len(pngs) == 3
+    assert Image.open(pngs[0]).mode == "P"

@@ -1,0 +1,281 @@
+"""Video-task evaluation CLI — the reference's eval-vid workflow.
+
+Mirrors running the reference with projects/UNINEXT/configs/eval-vid/*.yaml
+(uninext_vid.py inference paths): pick an eval preset (config.EVAL_PRESETS,
+which encode the per-dataset test sizes of those 17 yamls), walk a dataset
+directory in its OFFICIAL on-disk layout, stream every video through the
+matching driver, write the official output format, and — when ground truth
+is present — score with the offline evaluators.
+
+  --task vis    YTVIS json layout  -> results.json (+ server zip), mAP json
+  --task sot    LaSOT layout       -> <vid>.txt + <vid>_time.txt, AUC/P
+  --task vos    DAVIS layout       -> palette PNGs, J&F
+  --task mot    BDD box-track      -> scalabel json
+
+Usage:
+  python tools/eval_video.py --task vos --data-root datasets/DAVIS \
+      --config video_joint_r50 --weights model.pth --output-dir out/
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", required=True,
+                   choices=["vis", "vis21", "ovis", "sot", "vos", "mot",
+                            "rvos"])
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--json", help="annotation json (vis/rvos)")
+    p.add_argument("--config", default="video_joint_r50")
+    p.add_argument("--weights", help=".pth reference checkpoint to convert")
+    p.add_argument("--resume-dir", help="orbax checkpoint dir")
+    p.add_argument("--output-dir", default="eval_out")
+    p.add_argument("--bucket", type=int, nargs=2, default=None,
+                   help="static (H, W) network bucket; default from preset")
+    p.add_argument("--max-videos", type=int, default=0)
+    return p.parse_args()
+
+
+def norm_frame(path, H, W):
+    from PIL import Image
+    from uninext_tpu.data.coco import resize_shortest_edge
+    img = np.asarray(Image.open(path).convert("RGB"), np.float32)
+    h0, w0 = img.shape[:2]
+    h, w = resize_shortest_edge(h0, w0, H, W)
+    img = np.asarray(Image.fromarray(img.astype(np.uint8)).resize(
+        (w, h), Image.BILINEAR), np.float32)
+    out = np.zeros((H, W, 3), np.float32)
+    out[:h, :w] = (img - MEAN) / STD
+    return out, (h, w), (h0, w0)
+
+
+def build(args):
+    import jax
+    import dataclasses
+    from uninext_tpu import config as C
+    from uninext_tpu.models.detr import UninextDETR, init_all_paths
+
+    base = getattr(C, args.config)()
+    cfg, datasets, with_mask = C.eval_config(base, args.task)
+    if args.bucket:
+        H, W = args.bucket
+    else:
+        H = cfg.data.min_size_test
+        W = min(cfg.data.max_size_test, (H * 1333) // 800)
+        W = ((W + 31) // 32) * 32
+        H = ((H + 31) // 32) * 32
+    model = UninextDETR(cfg)
+    params = init_all_paths(model, jax.random.PRNGKey(0))["params"]
+    if args.weights:
+        from uninext_tpu.engine.convert import load_torch_checkpoint
+        params = load_torch_checkpoint(args.weights, params)
+    elif args.resume_dir:
+        from uninext_tpu.engine.checkpoint import CheckpointManager
+        params, ok = CheckpointManager(args.resume_dir).restore_params(params)
+        if not ok:
+            raise SystemExit(f"no checkpoint in {args.resume_dir}")
+    return model, params, cfg, (H, W), with_mask
+
+
+def frames_of(paths, H, W):
+    import jax.numpy as jnp
+    frames, hw, ori = [], None, None
+    for p in paths:
+        f, hw, ori = norm_frame(p, H, W)
+        frames.append(jnp.asarray(f[None]))
+    h, w = hw
+    img_masks = jnp.asarray(
+        ~(np.arange(H)[:, None] < h) | ~(np.arange(W)[None] < w))[None]
+    sizes = jnp.asarray(np.array([[h, w]], np.int32))
+    return frames, img_masks, sizes, hw, ori
+
+
+def run_vis(args, model, params, cfg, HW):
+    import jax.numpy as jnp
+    from uninext_tpu.data.prompts import create_label_token_map
+    from uninext_tpu.data.tokenizer import BertTokenizer
+    from uninext_tpu.data.video import load_ytvis_json
+    from uninext_tpu.engine.video_inference import VISDriver
+    from uninext_tpu.evaluation.ytvis_eval import (save_ytvis_results,
+                                                   video_output_to_ytvis)
+    from uninext_tpu.evaluation.bdd_submit import package_ytvis_submission
+
+    H, W = HW
+    js = args.json or os.path.join(args.data_root, "valid.json")
+    records, cats = load_ytvis_json(js, os.path.join(args.data_root,
+                                                     "JPEGImages"))
+    tok = BertTokenizer()
+    tids, tmask, cmap = create_label_token_map(cats, tok,
+                                               cfg.data.max_text_len)
+    drv = VISDriver(model, params, cfg, jnp.asarray(cmap), H, W)
+    results = []
+    for i, rec in enumerate(records):
+        if args.max_videos and i >= args.max_videos:
+            break
+        frames, img_masks, sizes, _, _ = frames_of(rec["file_names"], H, W)
+        t0 = time.perf_counter()
+        out = drv.run_video(frames, img_masks, sizes, jnp.asarray(tids[None]),
+                            jnp.asarray(tmask[None]),
+                            ori_size=(rec["height"], rec["width"]))
+        print(f"[vis] video {rec['video_id']} "
+              f"{len(frames) / (time.perf_counter() - t0):.1f} FPS")
+        results.extend(video_output_to_ytvis(rec["video_id"], out))
+    path = save_ytvis_results(results, args.output_dir)
+    package_ytvis_submission(results,
+                             os.path.join(args.output_dir, "submission.zip"))
+    print(f"[vis] {len(results)} tracks -> {path}")
+
+
+def run_sot(args, model, params, cfg, HW):
+    import jax.numpy as jnp
+    from uninext_tpu.data.sot_datasets import load_lasot
+    from uninext_tpu.engine.sot_inference import SOTDriver
+    from uninext_tpu.evaluation.sot_eval import (evaluate_sot,
+                                                 evaluate_sot_dataset,
+                                                 save_sot_results)
+    H, W = HW
+    seqs = load_lasot(args.data_root)
+    drv = SOTDriver(model, params, cfg, H, W)
+    per_seq = {}
+    for i, seq in enumerate(seqs):
+        if args.max_videos and i >= args.max_videos:
+            break
+        frames, img_masks, sizes, (h, w), (h0, w0) = frames_of(
+            seq["frames"], H, W)
+        gt = np.asarray(seq["gt_xywh"], np.float32)     # original pixels
+        sx, sy = w / w0, h / h0
+        init = gt[0] * [sx, sy, sx, sy]
+        init_xyxy = np.array([init[0], init[1],
+                              init[0] + init[2], init[1] + init[3]])
+        boxes, times = drv.run_video(frames, img_masks, sizes, init_xyxy)
+        boxes_ori = boxes / [sx, sy, sx, sy]
+        save_sot_results(args.output_dir, seq["name"], boxes_ori, times)
+        pred_xywh = np.stack([boxes_ori[:, 0], boxes_ori[:, 1],
+                              boxes_ori[:, 2] - boxes_ori[:, 0],
+                              boxes_ori[:, 3] - boxes_ori[:, 1]], 1)
+        per_seq[seq["name"]] = evaluate_sot(pred_xywh, gt,
+                                    seq.get("visible"))
+        print(f"[sot] {seq['name']} auc={per_seq[seq['name']]['auc']:.3f}")
+    agg = evaluate_sot_dataset(per_seq)
+    print(json.dumps({k: float(v) for k, v in agg.items()}, indent=1))
+
+
+def run_vos(args, model, params, cfg, HW):
+    from uninext_tpu.engine.sot_inference import VOSDriver
+    from uninext_tpu.evaluation.davis_eval import (evaluate_davis,
+                                                   load_davis_png,
+                                                   save_davis_png)
+    H, W = HW
+    img_root = os.path.join(args.data_root, "JPEGImages", "480p")
+    ann_root = os.path.join(args.data_root, "Annotations", "480p")
+    vids = sorted(os.listdir(img_root))
+    drv = VOSDriver(model, params, cfg, H, W)
+    js = {}
+    for i, vid in enumerate(vids):
+        if args.max_videos and i >= args.max_videos:
+            break
+        fns = sorted(os.listdir(os.path.join(img_root, vid)))
+        frames, img_masks, sizes, (h, w), (h0, w0) = frames_of(
+            [os.path.join(img_root, vid, f) for f in fns], H, W)
+        # per-object init from the annotation of each object's first frame
+        anns = sorted(os.listdir(os.path.join(ann_root, vid)))
+        init = {}
+        iy = (np.arange(h) * h0) // h
+        ix = (np.arange(w) * w0) // w
+        for fi, a in enumerate(anns):
+            am = load_davis_png(os.path.join(ann_root, vid, a))
+            for oid in np.unique(am):
+                if oid == 0 or int(oid) in init:
+                    continue
+                ys, xs = np.nonzero(am == oid)
+                gm = np.zeros((H, W), np.float32)
+                gm[:h, :w] = (am == oid)[iy][:, ix]
+                box = np.array([xs.min() * w / w0, ys.min() * h / h0,
+                                xs.max() * w / w0, ys.max() * h / h0],
+                               np.float32)
+                init[int(oid)] = {"frame": fi, "mask": gm, "box_xyxy": box}
+        labels = drv.run_video(frames, img_masks, sizes, init)
+        gt_by_obj, pred_by_obj = {}, {}
+        for fi, lab in enumerate(labels):
+            save_davis_png(lab, os.path.join(args.output_dir, vid,
+                                             fns[fi].replace(".jpg", ".png")))
+        # score frames that have gt annotations
+        for fi, a in enumerate(anns):
+            if fi >= len(labels):
+                break
+            am = load_davis_png(os.path.join(ann_root, vid, a))
+            am = am[iy][:, ix]                    # network scale
+            for oid in init:
+                gt_by_obj.setdefault(oid, []).append(am == oid)
+                pred_by_obj.setdefault(oid, []).append(
+                    labels[fi][:h, :w] == oid)
+        res = evaluate_davis(pred_by_obj, gt_by_obj)
+        js[vid] = {k: float(v) for k, v in res.items()}
+        print(f"[vos] {vid} {js[vid]}")
+    if js:
+        mean_jf = float(np.mean([v["J&F"] for v in js.values()]))
+        print(json.dumps({"J&F": mean_jf, "per_video": js}, indent=1))
+
+
+def run_mot(args, model, params, cfg, HW):
+    import jax.numpy as jnp
+    from uninext_tpu.data.prompts import create_label_token_map
+    from uninext_tpu.data.tokenizer import BertTokenizer
+    from uninext_tpu.engine.mot_inference import MOTDriver
+    from uninext_tpu.evaluation.bdd_submit import (box_track_to_bdd,
+                                                   save_bdd_json)
+    from uninext_tpu.evaluation.bdd_submit import BDD_CATEGORIES
+    H, W = HW
+    tok = BertTokenizer()
+    tids, tmask, cmap = create_label_token_map(list(BDD_CATEGORIES), tok,
+                                               cfg.data.max_text_len)
+    drv = MOTDriver(model, params, cfg, jnp.asarray(cmap), H, W)
+    root = args.data_root
+    vids = sorted(os.listdir(root))
+    all_frames = []
+    for i, vid in enumerate(vids):
+        if args.max_videos and i >= args.max_videos:
+            break
+        fns = sorted(os.listdir(os.path.join(root, vid)))
+        frames, img_masks, sizes, _, ori = frames_of(
+            [os.path.join(root, vid, f) for f in fns], H, W)
+        per_frame = drv.run_video(frames, img_masks, sizes,
+                                  jnp.asarray(tids[None]),
+                                  jnp.asarray(tmask[None]), ori_size=ori)
+        all_frames.extend(box_track_to_bdd(per_frame, fns, vid))
+        print(f"[mot] {vid}: {sum(len(f['labels']) for f in all_frames)} dets")
+    path = save_bdd_json(all_frames,
+                         os.path.join(args.output_dir, "box_track.json"))
+    print(f"[mot] -> {path}")
+
+
+def main():
+    args = parse_args()
+    os.makedirs(args.output_dir, exist_ok=True)
+    model, params, cfg, HW, _ = build(args)
+    if args.task in ("vis", "vis21", "ovis"):
+        run_vis(args, model, params, cfg, HW)
+    elif args.task == "sot":
+        run_sot(args, model, params, cfg, HW)
+    elif args.task == "vos":
+        run_vos(args, model, params, cfg, HW)
+    elif args.task == "mot":
+        run_mot(args, model, params, cfg, HW)
+    else:
+        raise SystemExit(f"task {args.task}: use engine/rvos_offline.py "
+                         "drivers directly (expression-conditioned)")
+
+
+if __name__ == "__main__":
+    main()

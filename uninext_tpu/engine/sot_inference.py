@@ -150,12 +150,22 @@ class VOSDriver:
         """init_per_object: {obj_id: {frame: int, box_xyxy: (4,),
         mask: optional (H, W) {0,1} first-frame annotation}}. The gt mask
         feeds the template's 4th channel (reference coco_inference_ref_vos,
-        ddetrs_vid_dn.py:547-597). Returns per-frame (H, W) uint8 label
+        ddetrs_vid_dn.py:547-597).
+
+        With cfg.sot.inference_on_3f (reference inference_ytbvos_3f,
+        uninext_vid.py:798-960): each object also carries a PREVIOUS-frame
+        template; the per-frame prompt concatenates init+prev, and after
+        each frame the prev template is re-encoded from the merged
+        prediction (mask region + its bounding box) when the score clears
+        cfg.sot.update_threshold. Returns per-frame (H, W) uint8 label
         maps."""
+        on_3f = self.cfg.sot.inference_on_3f
         templates: Dict[int, Dict] = {}
+        prev: Dict[int, Dict] = {}
         h, w = int(sizes[0, 0]), int(sizes[0, 1])
         outputs = []
         for fi in range(len(frames)):
+            new_ids = []
             for oid, init in init_per_object.items():
                 if init["frame"] == fi:
                     gm = init.get("mask")
@@ -164,18 +174,33 @@ class VOSDriver:
                     templates[oid] = self.encode(
                         self.params, frames[fi],
                         jnp.asarray(np.asarray(init["box_xyxy"])[None]), gm)
+                    prev[oid] = templates[oid]
+                    new_ids.append(oid)
             if not templates:
                 outputs.append(np.zeros((h, w), np.uint8))
                 continue
             probs = []
             oids = sorted(templates)
+            scores = {}
             for oid in oids:
                 t = templates[oid]
+                if on_3f:
+                    hidden = jnp.concatenate(
+                        [t["hidden"], prev[oid]["hidden"]], 1)
+                    mask = jnp.concatenate(
+                        [t["masks"], prev[oid]["masks"]], 1)
+                else:
+                    hidden, mask = t["hidden"], t["masks"]
                 r = self.step(self.params, frames[fi], img_mask, sizes,
-                              t["hidden"], t["masks"])
-                score = float(r["score"][0])
-                m = np.asarray(jax.nn.sigmoid(r["mask_logits"][0]))
-                if score < self.cfg.sot.inst_threshold_vos:
+                              hidden, mask)
+                scores[oid] = float(r["score"][0])
+                # per-object prob upsampled to the network input scale
+                # (reference :903 F.interpolate(..., bilinear) before merge)
+                lg = r["mask_logits"][0]                  # (H/4, W/4)
+                full = jax.image.resize(lg, (lg.shape[0] * 4,
+                                             lg.shape[1] * 4), "linear")
+                m = np.asarray(jax.nn.sigmoid(full))[:h, :w]
+                if scores[oid] < self.cfg.sot.inst_threshold_vos:
                     m = np.zeros_like(m)
                 probs.append(m)
             label_small = soft_aggregate(np.stack(probs))
@@ -183,5 +208,26 @@ class VOSDriver:
             remap = np.zeros(len(oids) + 1, np.uint8)
             for i, oid in enumerate(oids):
                 remap[i + 1] = oid
-            outputs.append(remap[label_small])
+            label = remap[label_small]
+            outputs.append(label)
+            if on_3f:
+                # refresh prev templates from the merged prediction
+                # (reference :940-959: skip new objects and low scores;
+                # empty masks are skipped like the reference's bare except)
+                HH, WW = frames[fi].shape[1:3]
+                for oid in oids:
+                    if (oid in new_ids
+                            or scores[oid] < self.cfg.sot.update_threshold):
+                        continue
+                    cur = (label == oid)
+                    ys, xs = np.nonzero(cur)
+                    if ys.size == 0:
+                        continue
+                    box = np.array([xs.min(), ys.min(),
+                                    xs.max() + 1, ys.max() + 1], np.float32)
+                    gm = np.zeros((HH, WW), np.float32)
+                    gm[:h, :w] = cur
+                    prev[oid] = self.encode(
+                        self.params, frames[fi], jnp.asarray(box[None]),
+                        jnp.asarray(gm[None]))
         return outputs
