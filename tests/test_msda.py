@@ -119,3 +119,33 @@ def test_attention_weight_identity():
     out = ms_deform_attn(jnp.array(value), SHAPES, jnp.array(locs), jnp.array(attn))
     expected = value[0, 2 * W + 1, 0]
     np.testing.assert_allclose(np.asarray(out)[0, 0], expected, atol=1e-5)
+
+
+def test_custom_vjp_matches_ad_of_unpacked():
+    """The packed op's hand-written VJP (scatter-add + regather fold) must
+    match pure AD of the independent unpacked formulation in float64 for all
+    three gradients, including border and out-of-range samples."""
+    from uninext_tpu.ops.msda import ms_deform_attn_unpacked
+    jax.config.update("jax_enable_x64", True)
+    try:
+        value, locs, attn = _random_inputs(seed=3)
+        value = jnp.array(value, jnp.float64)
+        locs = jnp.array(locs, jnp.float64)
+        attn = jnp.array(attn, jnp.float64)
+        dy = jnp.array(np.random.RandomState(9).randn(*(
+            value.shape[0], locs.shape[1],
+            value.shape[2] * value.shape[3])), jnp.float64)
+
+        def loss_packed(v, l, a):
+            return (ms_deform_attn(v, SHAPES, l, a) * dy).sum()
+
+        def loss_unpacked(v, l, a):
+            return (ms_deform_attn_unpacked(v, SHAPES, l, a) * dy).sum()
+
+        gp = jax.grad(loss_packed, argnums=(0, 1, 2))(value, locs, attn)
+        gu = jax.grad(loss_unpacked, argnums=(0, 1, 2))(value, locs, attn)
+        for name, a, b in zip(("dvalue", "dloc", "datt"), gp, gu):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-9, atol=1e-9, err_msg=name)
+    finally:
+        jax.config.update("jax_enable_x64", False)

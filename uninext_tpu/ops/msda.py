@@ -34,6 +34,7 @@ Layouts:
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Sequence, Tuple
 
@@ -69,16 +70,21 @@ def _pack_levels(value_t: jnp.ndarray,
     return out
 
 
-def _indices_weights(spatial_shapes, loc, att):
+def _indices_weights(spatial_shapes, loc, att, full=False):
     """Per-level packed-row index (B,M,Lq,P) and folded corner weights
     (B,M,Lq,P,4). `loc`/`att` are head-major: (B,M,Lq,L,P,2) / (B,M,Lq,L,P).
-    Bilinear math runs in float32 regardless of activation dtype."""
-    idxs, ws = [], []
+    Bilinear math runs in float32 regardless of activation dtype.
+
+    With `full`, additionally returns per level the pieces the custom VJP
+    needs: bilinear-only corner weights `bl` (B,M,Lq,P,4), the masked
+    attention `a_m`, and the fractional offsets `fx`, `fy`."""
+    idxs, ws, extras = [], [], []
     for lvl, (H, W) in enumerate(spatial_shapes):
+        f32 = jnp.promote_types(jnp.float32, loc.dtype)
         l = loc[:, :, :, lvl]                            # (B, M, Lq, P, 2)
-        a = att[:, :, :, lvl].astype(jnp.float32)
-        x = l[..., 0].astype(jnp.float32) * W - 0.5
-        y = l[..., 1].astype(jnp.float32) * H - 0.5
+        a = att[:, :, :, lvl].astype(f32)
+        x = l[..., 0].astype(f32) * W - 0.5
+        y = l[..., 1].astype(f32) * H - 0.5
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
         fx = x - x0
@@ -89,11 +95,34 @@ def _indices_weights(spatial_shapes, loc, att):
         bx = jnp.clip(x0.astype(jnp.int32) + 1, 0, W)
         by = jnp.clip(y0.astype(jnp.int32) + 1, 0, H)
         idxs.append(by * (W + 2) + bx)                   # (B, M, Lq, P)
-        ws.append(jnp.stack([(1 - fx) * (1 - fy) * a,
-                             fx * (1 - fy) * a,
-                             (1 - fx) * fy * a,
-                             fx * fy * a], axis=-1))     # (B, M, Lq, P, 4)
+        bl = jnp.stack([(1 - fx) * (1 - fy),
+                        fx * (1 - fy),
+                        (1 - fx) * fy,
+                        fx * fy], axis=-1)               # (B, M, Lq, P, 4)
+        ws.append(bl * a[..., None])
+        if full:
+            extras.append((bl, a, fx, fy, in_range))
+    if full:
+        return idxs, ws, extras
     return idxs, ws
+
+
+def _pad_q_layout(B, M, Lq):
+    """Query padding so lane-block boundaries in the fold are 128-aligned."""
+    q_align = 128 // math.gcd(B * M, 128)
+    Lq_pad = -(-Lq // q_align) * q_align
+    return Lq_pad, Lq_pad - Lq, B * M * Lq_pad
+
+
+def _gather_index(idx, Rl, pad_q):
+    """(B,M,Lq,P) packed-row index -> flat p-major (P*BMLq,) into the
+    (B*M*Rl, 4D) buffer."""
+    bm = (jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0) * idx.shape[1]
+          + jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1))
+    gidx = bm * Rl + idx
+    if pad_q:
+        gidx = jnp.pad(gidx, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    return jnp.transpose(gidx, (3, 0, 1, 2)).reshape(-1)
 
 
 def ms_deform_attn(value: jnp.ndarray,
@@ -114,6 +143,10 @@ def ms_deform_attn(value: jnp.ndarray,
       * one final (D, B, M, Lq) -> (B, Lq, M*D) transpose of the 20 MB output.
     Measured on v5e at encoder scale (Lq=S=20197): 17.4 ms -> 9.0 ms in
     bfloat16, bit-identical to the reference formulation in float32/float64.
+
+    The backward is a hand-written VJP (see `_msda_packed_bwd`): the AD
+    transpose of the transposed-view fold materializes the full per-level
+    gather cotangent through a layout change and costs ~7x the forward.
     """
     B, S, M, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
@@ -121,7 +154,6 @@ def ms_deform_attn(value: jnp.ndarray,
     assert S == sum(h * w for h, w in spatial_shapes), (
         f"value length {S} != sum of spatial shapes "
         f"{sum(h * w for h, w in spatial_shapes)}")
-    dtype = value.dtype
 
     # Under sequence parallelism the query axis is sharded over "model"; the
     # flat p-major gather below puts that axis innermost of a 1-D index
@@ -134,11 +166,16 @@ def ms_deform_attn(value: jnp.ndarray,
         return ms_deform_attn_unpacked(value, spatial_shapes,
                                        sampling_locations, attention_weights)
 
-    # pad queries so lane-block boundaries in the fold are 128-aligned
-    q_align = 128 // math.gcd(B * M, 128)
-    Lq_pad = -(-Lq // q_align) * q_align
-    pad_q = Lq_pad - Lq
-    BMLq = B * M * Lq_pad
+    return _msda_packed(tuple(spatial_shapes), value, sampling_locations,
+                        attention_weights)
+
+
+def _packed_forward(spatial_shapes, value, sampling_locations,
+                    attention_weights):
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    dtype = value.dtype
+    Lq_pad, pad_q, BMLq = _pad_q_layout(B, M, Lq)
 
     value_t = jnp.transpose(value, (0, 2, 1, 3))         # (B, M, S, D)
     packed = _pack_levels(value_t, spatial_shapes)
@@ -150,13 +187,7 @@ def ms_deform_attn(value: jnp.ndarray,
     for lvl in range(L):
         Rl = packed[lvl].shape[2]
         buf = packed[lvl].reshape(B * M * Rl, 4 * D)
-        idx = idxs[lvl]                                  # (B, M, Lq, P)
-        bm = (jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0) * M
-              + jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1))
-        gidx = bm * Rl + idx
-        if pad_q:
-            gidx = jnp.pad(gidx, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
-        gidx = jnp.transpose(gidx, (3, 0, 1, 2)).reshape(-1)   # p-major
+        gidx = _gather_index(idxs[lvl], Rl, pad_q)             # p-major
         g = buf.at[gidx].get(mode="promise_in_bounds")   # (P*BMLq, 4D)
         gT = g.T                                         # (4D, P*BMLq): free view
         w = ws[lvl].astype(dtype)                        # (B, M, Lq, P, 4)
@@ -167,12 +198,122 @@ def ms_deform_attn(value: jnp.ndarray,
                + gT[1 * D:2 * D, :] * wT[1:2, :]
                + gT[2 * D:3 * D, :] * wT[2:3, :]
                + gT[3 * D:4 * D, :] * wT[3:4, :])        # (D, P*BMLq)
-        r = acc[:, 0 * BMLq:1 * BMLq].astype(jnp.float32)
+        r = acc[:, 0 * BMLq:1 * BMLq].astype(
+            jnp.promote_types(jnp.float32, dtype))
         for p in range(1, P):
             r = r + acc[:, p * BMLq:(p + 1) * BMLq]
         out = out + r                                    # (D, BMLq) f32
     out = out.reshape(D, B, M, Lq_pad)[:, :, :, :Lq]
     return jnp.transpose(out.astype(dtype), (1, 3, 2, 0)).reshape(B, Lq, M * D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _msda_packed(spatial_shapes, value, sampling_locations,
+                 attention_weights):
+    return _packed_forward(spatial_shapes, value, sampling_locations,
+                           attention_weights)
+
+
+def _msda_packed_fwd(spatial_shapes, value, sampling_locations,
+                     attention_weights):
+    out = _packed_forward(spatial_shapes, value, sampling_locations,
+                          attention_weights)
+    # save only the raw inputs; packing/index math is recomputed in bwd
+    # (cheap, and composes with the encoder's remat without residual bloat)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _msda_packed_bwd(spatial_shapes, res, dy):
+    """Hand-written transpose of the packed formulation.
+
+    Matches the reference col2im backward
+    (ops/src/cuda/ms_deform_im2col_cuda.cuh grad paths) semantically:
+      dvalue  — corner-packed row-major scatter-add: the four bilinear-corner
+                cotangent rows of a sample are one (4D,) row scattered at the
+                SAME packed index the forward gathered, then the pack is
+                inverted by three rolls and a sum (exact: `by <= H` bounds
+                every packed index at least W+4 rows from the table end, so
+                no roll wraparound can alias).
+      dloc/datt — regather the corner values (same fast p-major gathers as
+                the forward) and fold per-sample dot products s_c = <g_c, dy>
+                with the bilinear weight derivatives.
+    Everything is built row-major directly from dy, so no relayout of the
+    (P*BMLq, 4D) gather cotangent ever materializes — that relayout plus the
+    AD scatter layout is where the 7x AD backward tax went.
+    """
+    value, samp_loc, att_in = res
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = samp_loc.shape
+    dtype = value.dtype
+    Lq_pad, pad_q, BMLq = _pad_q_layout(B, M, Lq)
+
+    value_t = jnp.transpose(value, (0, 2, 1, 3))
+    packed = _pack_levels(value_t, spatial_shapes)
+    loc = jnp.transpose(samp_loc, (0, 2, 1, 3, 4, 5))
+    att = jnp.transpose(att_in, (0, 2, 1, 3, 4))
+    idxs, ws, extras = _indices_weights(spatial_shapes, loc, att, full=True)
+
+    # cotangent in row-major sample space
+    dy4 = jnp.transpose(dy.reshape(B, Lq, M, D), (0, 2, 1, 3))  # (B,M,Lq,D)
+    if pad_q:
+        dy4 = jnp.pad(dy4, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    acc_dt = jnp.promote_types(jnp.float32, dtype)
+    dy_rows = dy4.reshape(BMLq, D).astype(acc_dt)
+    dyT = dy_rows.T                                      # (D, BMLq) f32 view
+    dy_rows_p = jnp.tile(dy_rows, (P, 1))                # (P*BMLq, D) p-major
+
+    dval_slabs, datt_lvls, dloc_lvls = [], [], []
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        Rl = packed[lvl].shape[2]
+        buf = packed[lvl].reshape(B * M * Rl, 4 * D)
+        gidx = _gather_index(idxs[lvl], Rl, pad_q)
+
+        # --- s_{c,p}[n] = <g_c, dy_n>: transposed-view consumption ---
+        g = buf.at[gidx].get(mode="promise_in_bounds")   # (P*BMLq, 4D)
+        gT = g.T
+        s_cp = []
+        for c in range(4):
+            for p in range(P):
+                blk = gT[c * D:(c + 1) * D, p * BMLq:(p + 1) * BMLq]
+                s_cp.append((blk.astype(acc_dt) * dyT).sum(0))
+        s = jnp.stack(s_cp).reshape(4, P, B, M, Lq_pad)
+        s = jnp.transpose(s, (2, 3, 4, 1, 0))            # (B,M,Lq_pad,P,4)
+        if pad_q:
+            s = s[:, :, :Lq]
+
+        bl, a_m, fx, fy, in_range = extras[lvl]
+        datt_lvls.append(jnp.where(in_range, (bl * s).sum(-1), 0.0))
+        s0, s1, s2, s3 = s[..., 0], s[..., 1], s[..., 2], s[..., 3]
+        dfx = a_m * ((s1 - s0) * (1 - fy) + (s3 - s2) * fy)
+        dfy = a_m * ((s2 - s0) * (1 - fx) + (s3 - s1) * fx)
+        dloc_lvls.append(jnp.stack([dfx * W, dfy * H], axis=-1))
+
+        # --- dvalue: row-major corner-packed scatter-add ---
+        w = ws[lvl]                                      # (B,M,Lq,P,4) f32
+        if pad_q:
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, pad_q), (0, 0), (0, 0)))
+        w_rows = jnp.transpose(w, (3, 0, 1, 2, 4)).reshape(P * BMLq, 4)
+        u = (w_rows[:, :, None] * dy_rows_p[:, None, :]).reshape(-1, 4 * D)
+        tbl = jnp.zeros((B * M * Rl, 4 * D), acc_dt)
+        tbl = tbl.at[gidx].add(u, mode="promise_in_bounds")
+        tbl = tbl.reshape(B, M, Rl, 4, D)
+        dflat = (tbl[..., 0, :]
+                 + jnp.roll(tbl[..., 1, :], 1, axis=2)
+                 + jnp.roll(tbl[..., 2, :], W + 2, axis=2)
+                 + jnp.roll(tbl[..., 3, :], W + 3, axis=2))   # (B,M,Rl,D)
+        dslab = dflat.reshape(B, M, H + 2, W + 2, D)[:, :, 1:H + 1, 1:W + 1]
+        dval_slabs.append(dslab.reshape(B, M, H * W, D))
+
+    dvalue = jnp.transpose(jnp.concatenate(dval_slabs, axis=2),
+                           (0, 2, 1, 3)).astype(dtype)
+    datt = jnp.transpose(jnp.stack(datt_lvls, axis=3),
+                         (0, 2, 1, 3, 4)).astype(att_in.dtype)
+    dloc = jnp.transpose(jnp.stack(dloc_lvls, axis=3),
+                         (0, 2, 1, 3, 4, 5)).astype(samp_loc.dtype)
+    return dvalue, dloc, datt
+
+
+_msda_packed.defvjp(_msda_packed_fwd, _msda_packed_bwd)
 
 
 def ms_deform_attn_unpacked(value: jnp.ndarray,
