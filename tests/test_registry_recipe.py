@@ -49,3 +49,87 @@ def test_loader_mixes_datasets_with_per_dataset_batch_sizes(tmp_path):
         sizes_seen.add(bsz)
         assert np.isfinite(b["images"]).all()
     assert sizes_seen == {2, 3}, sizes_seen
+
+
+def test_train_recipes_table():
+    """TRAIN_RECIPES covers the 3 stages + 5 single-task runs
+    (assets/TRAIN.md, single_task_*.yaml) with registered dataset names."""
+    from uninext_tpu import config as config_mod
+    known = set(registry.list_datasets())
+    assert set(registry.TRAIN_RECIPES) == {
+        "obj365_pretrain", "image_joint", "video_joint", "single_task_det",
+        "single_task_rec", "single_task_vis", "single_task_sot",
+        "single_task_rvos"}
+    for name, (base, recipe_fn, (step, max_iter), src) in \
+            registry.TRAIN_RECIPES.items():
+        assert hasattr(config_mod, base), base
+        rows = recipe_fn()
+        assert rows, name
+        for row in rows:
+            assert row[0] in known, (name, row[0])
+        assert 0 < step < max_iter, name
+    # single-task recipes subset the joint ones (single_task_vis.yaml etc.)
+    assert len(registry.TRAIN_RECIPES["single_task_vis"][1]()) == 3
+    assert len(registry.TRAIN_RECIPES["single_task_sot"][1]()) == 5
+    assert len(registry.TRAIN_RECIPES["single_task_rvos"][1]()) == 2
+
+
+def _mini_coco_layout(tmp_path, monkeypatch):
+    """Arrange make_mini_coco output in the reference datasets/ layout."""
+    import os
+    import shutil
+    paths = make_mini_coco(str(tmp_path / "src"), n_train=5, n_val=2, seed=0)
+    root = tmp_path / "datasets"
+    (root / "coco" / "annotations").mkdir(parents=True)
+    shutil.copytree(paths["train_root"], root / "coco" / "train2017")
+    shutil.copy(paths["train_json"],
+                root / "coco" / "annotations" / "instances_train2017.json")
+    monkeypatch.setenv("UNINEXT_DATA", str(root))
+    return root
+
+
+def test_build_recipe_image_smoke(tmp_path, monkeypatch):
+    from uninext_tpu.config import tiny_test_config
+    _mini_coco_layout(tmp_path, monkeypatch)
+    cfg = tiny_test_config()
+    cfg2, datasets, ratios, video = registry.build_recipe(
+        "single_task_det", cfg)
+    assert not video and len(datasets) == 1 and ratios == [1.0]
+    assert cfg2.solver.max_iter == 177600       # single_task_det.yaml
+    loader = MultiDatasetLoader(datasets, ratios, num_workers=1)
+    b = next(iter(loader))
+    assert b["images"].shape[0] == 2
+    assert np.isfinite(b["images"]).all()
+
+
+def test_coco2video_converter_and_pair_loader(tmp_path, monkeypatch):
+    """coco2video pseudo-video json loads through the registry and the
+    loader emits collated (key, ref) video batches."""
+    import subprocess
+    import sys
+    root = _mini_coco_layout(tmp_path, monkeypatch)
+    src = root / "coco" / "annotations" / "instances_train2017.json"
+    dst = root / "coco" / "annotations" / "instances_train2017_video.json"
+    subprocess.run([sys.executable, "tools/convert_datasets.py", "coco2video",
+                    "--input", str(src), "--output", str(dst)], check=True)
+    # sot variant: single "object" category
+    dst_sot = root / "coco" / "annotations" / \
+        "instances_train2017_video_sot.json"
+    subprocess.run([sys.executable, "tools/convert_datasets.py", "coco2video",
+                    "--sot", "--input", str(src), "--output", str(dst_sot)],
+                   check=True)
+    recs, cats, task = registry.get_dataset("coco_2017_train_video")
+    assert len(recs) == 5 and recs[0]["length"] == 1
+    recs_sot, cats_sot, _ = registry.get_dataset("sot_coco_2017_train")
+    assert cats_sot == ["object"]
+
+    from uninext_tpu.config import DataConfig
+    from uninext_tpu.data.video import VideoPairMapper
+    dcfg = DataConfig(max_insts=8, max_text_len=32, min_size_train=(64,),
+                      max_size_train=96)
+    mapper = VideoPairMapper(dcfg, cats, sampling_frame_range=1)
+    loader = MultiDatasetLoader([(recs, mapper, 2)], [1.0], num_workers=1)
+    b = next(iter(loader))
+    assert b["images_key"].shape == b["images_ref"].shape
+    assert b["images_key"].shape[0] == 2
+    assert b["targets_key"]["boxes"].shape == b["targets_ref"]["boxes"].shape

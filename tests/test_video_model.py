@@ -68,3 +68,33 @@ def test_video_train_step():
         assert "loss_reid" in metrics
     assert losses[-1] < losses[0]
     assert int(state.step) == 4
+
+
+def test_trainer_video_mode(tmp_path):
+    """Trainer(video=True) drives the stage-3 pair step end-to-end
+    (tools/train_net.py --recipe video_joint / single_task_* path)."""
+    from uninext_tpu.engine.trainer import Trainer
+
+    cfg = dataclasses.replace(small_cfg(), use_reid=True)
+    cfg = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver, max_iter=2,
+                                        checkpoint_period=1000,
+                                        warmup_iters=1))
+    images, img_mask, sizes, tids, tmask, targets_key = make_batch(0)
+    batch = {
+        "images_key": np.asarray(images), "images_ref": np.asarray(
+            make_batch(1)[0]),
+        "img_mask": np.asarray(img_mask), "image_sizes": np.asarray(sizes),
+        "text_ids": np.asarray(tids), "text_mask": np.asarray(tmask),
+        "targets_key": jax.tree.map(np.asarray, targets_key),
+        "targets_ref": jax.tree.map(np.asarray, dict(targets_key)),
+    }
+
+    def loader():
+        while True:
+            yield batch
+
+    tr = Trainer(cfg, loader(), output_dir=str(tmp_path), task="detection",
+                 use_mesh=False, video=True, log_period=1)
+    tr.train()
+    assert int(tr.state.step) == 2

@@ -10,6 +10,12 @@ Sub-commands:
                  (reference conversion/convert_vos* semantics)
   inflate4c    — torch .pth: inflate backbone conv1 3->4 channels for the
                  SOT/VOS template branch (conversion/convert_3c_to_4c_pth.py)
+  coco2video   — coco instances json -> 1-frame pseudo-video (ytvis-style)
+                 json: every image becomes a length-1 video, every annotation
+                 a track; --sot collapses all categories to a single "object"
+                 class (conversion/convert_coco_to_{video,sot}.py,
+                 convert_refcoco_to_video.py when the source json carries
+                 per-image "expressions")
 """
 import argparse
 import json
@@ -105,6 +111,32 @@ def inflate4c(args):
     print(f"inflated {key} {tuple(w.shape)} -> {tuple(new.shape)}")
 
 
+def coco2video(args):
+    with open(args.input) as f:
+        src = json.load(f)
+    videos, annos = [], []
+    for img in src["images"]:
+        v = {"id": img["id"], "length": 1, "height": img["height"],
+             "width": img["width"], "file_names": [img["file_name"]]}
+        if "expressions" in img:              # refcoco-mixed pseudo-video
+            v["expressions"] = img["expressions"]
+        videos.append(v)
+    for a in src["annotations"]:
+        annos.append({"id": a["id"], "video_id": a["image_id"],
+                      "iscrowd": a.get("iscrowd", 0),
+                      "category_id": 1 if args.sot else a["category_id"],
+                      "bboxes": [a["bbox"]],
+                      "areas": [a.get("area")],
+                      **({"segmentations": [a["segmentation"]]}
+                         if "segmentation" in a else {})})
+    cats = ([{"supercategory": "object", "id": 1, "name": "object"}]
+            if args.sot else src["categories"])
+    with open(args.output, "w") as f:
+        json.dump({"videos": videos, "annotations": annos,
+                   "categories": cats}, f)
+    print(f"wrote {len(videos)} pseudo-videos, {len(annos)} tracks")
+
+
 def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -121,9 +153,13 @@ def main():
     i.add_argument("--output", required=True)
     i.add_argument("--key",
                    default="detr.detr.backbone.0.backbone.stem.conv1.weight")
+    c = sub.add_parser("coco2video")
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--sot", action="store_true")
     args = p.parse_args()
     {"refer2json": refer2json, "ytbvos2json": ytbvos2json,
-     "inflate4c": inflate4c}[args.cmd](args)
+     "inflate4c": inflate4c, "coco2video": coco2video}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -18,6 +18,11 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="image_joint_r50",
                    help="config preset name in uninext_tpu.config")
+    p.add_argument("--recipe", default=None,
+                   help="named training recipe (registry.TRAIN_RECIPES: "
+                        "obj365_pretrain, image_joint, video_joint, "
+                        "single_task_{det,rec,vis,sot,rvos}); resolves "
+                        "datasets under $UNINEXT_DATA")
     p.add_argument("--task", default="detection",
                    choices=["detection", "grounding"])
     p.add_argument("--output-dir", default="./output")
@@ -75,10 +80,20 @@ def main():
     from uninext_tpu.engine.trainer import Trainer
 
     cfg = getattr(config_mod, args.config)()
-    cfg = apply_overrides(cfg, args.opts)
 
     datasets = []
+    ratios = None
+    video = False
     categories = ["object"]
+    if args.recipe:
+        from uninext_tpu.data import registry
+        base_name = registry.TRAIN_RECIPES[args.recipe][0]
+        if args.config == "image_joint_r50" and base_name != args.config:
+            cfg = getattr(config_mod, base_name)()
+        cfg = apply_overrides(cfg, args.opts)
+        cfg, datasets, ratios, video = registry.build_recipe(args.recipe, cfg)
+    else:
+        cfg = apply_overrides(cfg, args.opts)
     if args.coco_json:
         records, categories = load_coco_json(args.coco_json, args.image_root)
         mapper = UniDatasetMapper(cfg.data, categories, is_train=True)
@@ -133,11 +148,11 @@ def main():
         return
 
     loader = prefetch(iter(MultiDatasetLoader(
-        datasets, ratios=[1.0] * len(datasets),
+        datasets, ratios=ratios or [1.0] * len(datasets),
         process_index=jax.process_index(),
         process_count=jax.process_count())))
     trainer = Trainer(cfg, loader, output_dir=args.output_dir,
-                      task=args.task)
+                      task=args.task, video=video)
     trainer.resume_or_load(args.init_weights if not args.resume else None)
     trainer.train()
 

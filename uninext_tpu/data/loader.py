@@ -101,10 +101,18 @@ class MultiDatasetLoader:
 
         groups: Dict[tuple, List[MappedSample]] = {}
         for d, sample in mapped():
-            key = (d, sample.bucket)
+            # video mappers emit (key, ref) MappedSample pairs; bucket by the
+            # key frame (clip-consistent aug gives both frames one bucket)
+            is_pair = isinstance(sample, tuple)
+            key = (d, (sample[0] if is_pair else sample).bucket)
             groups.setdefault(key, []).append(sample)
             if len(groups[key]) == self.datasets[d][2]:
-                yield collate(groups.pop(key))
+                batch = groups.pop(key)
+                if is_pair:
+                    from .video import collate_video
+                    yield collate_video(batch)
+                else:
+                    yield collate(batch)
 
 
 def prefetch(iterator: Iterator, size: int = 2) -> Iterator:

@@ -255,6 +255,111 @@ def video_joint_recipe():
     ]
 
 
+_IMG_SIZES = (480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800)
+
+
+def obj365_pretrain_recipe():
+    """Stage-1 Objects365v2 pretraining (obj365v2_32g_r50.yaml): single
+    dataset, class-aware sampling, BoxInst mask supervision (no gt masks in
+    obj365). Image entries use frame_range=None."""
+    return [("objects365_v2_train", 1.0, 2, _IMG_SIZES, 1333, None)]
+
+
+def image_joint_recipe():
+    """Stage-2 image-level joint recipe (image_joint_r50.yaml:27-63):
+    detection (COCO) + grounding (refcoco-mixed) at ratio 1:1, per-dataset
+    batch size 2."""
+    return [
+        ("coco_2017_train",  1.0, 2, _IMG_SIZES, 1333, None),
+        ("refcoco-mixed",    1.0, 2, _IMG_SIZES, 1333, None),
+    ]
+
+
+def _single(names_rows):
+    return [r for r in video_joint_recipe() if r[0] in names_rows]
+
+
+# Training stages & task-specific runs (reference configs/; each value is
+# (config_preset, recipe_fn, (lr-step, max_iter), provenance of WEIGHTS).
+# The three-stage pipeline hands weights forward: obj365 -> image joint ->
+# inflate4c (tools/convert_datasets.py) -> video joint (TRAIN.md:3,
+# image_joint_r50.yaml:8, video_joint_r50.yaml:16).
+TRAIN_RECIPES = {
+    "obj365_pretrain": ("image_joint_r50", obj365_pretrain_recipe,
+                        (312346, 340741), "imagenet R-50"),
+    "image_joint": ("image_joint_r50", image_joint_recipe,
+                    (76658, 91990), "obj365_pretrain"),
+    "video_joint": ("video_joint_r50", video_joint_recipe,
+                    (150000, 180000), "image_joint + inflate4c"),
+    # single-task runs (single_task_*.yaml: 8-GPU, own schedules)
+    "single_task_det": ("image_joint_r50",
+                        lambda: [("coco_2017_train", 1.0, 2, _IMG_SIZES,
+                                  1333, None)],
+                        (148000, 177600), "imagenet R-50"),
+    "single_task_rec": ("image_joint_r50",
+                        lambda: [("refcoco-mixed", 1.0, 2, _IMG_SIZES,
+                                  1333, None)],
+                        (158635, 190362), "imagenet R-50"),
+    "single_task_vis": ("video_joint_r50",
+                        lambda: _single({"ytvis_ovis_train",
+                                         "ytvis_2019_train",
+                                         "coco_2017_train_video"}),
+                        (75000, 90000), "single_task_det + inflate4c"),
+    "single_task_sot": ("video_joint_r50",
+                        lambda: _single({"sot_got10k_train",
+                                         "sot_lasot_train",
+                                         "sot_trackingnet_train",
+                                         "sot_coco_2017_train",
+                                         "sot_ytbvos18_train"}),
+                        (75000, 90000), "single_task_det + inflate4c"),
+    "single_task_rvos": ("video_joint_r50",
+                         lambda: _single({"rvos-refcoco-mixed",
+                                          "rvos-refytb-train"}),
+                         (75000, 90000), "single_task_det + inflate4c"),
+}
+
+
+def build_recipe(name: str, cfg, tokenizer=None):
+    """Instantiate a TRAIN_RECIPES entry against the on-disk datasets.
+
+    Returns (cfg', datasets, ratios, video) where cfg' carries the recipe's
+    LR schedule, datasets is [(records, mapper, batch_size)] ready for
+    MultiDatasetLoader, and video says whether batches are (key, ref) pairs
+    (use the stage-3 video train step). Mirrors what the reference assembles
+    from the yaml DATASETS/DATALOADER/SOLVER blocks (train_net.py:95,
+    custom_dataset_dataloader.py:59).
+    """
+    import dataclasses
+
+    from .coco import UniDatasetMapper
+    from .tokenizer import BertTokenizer
+    from .video import VideoPairMapper
+
+    _, recipe_fn, (step, max_iter), _ = TRAIN_RECIPES[name]
+    rows = recipe_fn()
+    tok = tokenizer or BertTokenizer()
+    video = any(r[5] is not None for r in rows)
+    datasets, ratios = [], []
+    for (ds_name, ratio, bs, min_sizes, max_size, frange) in rows:
+        records, cats, _task = get_dataset(ds_name)
+        dcfg = dataclasses.replace(cfg.data, min_size_train=tuple(min_sizes),
+                                   max_size_train=max_size)
+        cats = cats or ["object"]
+        if video:
+            # image datasets inside a video recipe stream as pseudo-videos
+            # (builtin.py coco_2017_train_video; dataset_mapper_uni_vid.py:284)
+            mapper = VideoPairMapper(dcfg, cats, tok,
+                                     sampling_frame_range=frange or 1)
+        else:
+            mapper = UniDatasetMapper(dcfg, cats, tok)
+        datasets.append((records, mapper, bs))
+        ratios.append(ratio)
+    cfg = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver, steps=(step,),
+                                        max_iter=max_iter))
+    return cfg, datasets, ratios, video
+
+
 # ---- Segmentation-in-the-Wild (25 coco-format subsets) ----
 _SEGINW_SUBSETS = (
     "Airplane-Parts", "Bottles", "Brain-Tumor", "Chicken", "Cows",

@@ -18,13 +18,15 @@ from ..config import UninextConfig
 from ..parallel.mesh import create_mesh
 from .checkpoint import CheckpointManager
 from .events import EventStorage, JSONWriter, TerminalWriter
-from .train import TrainState, create_train_state, make_train_step
+from .train import (TrainState, create_train_state, create_video_train_state,
+                    make_train_step, make_video_train_step)
 
 
 class Trainer:
     def __init__(self, cfg: UninextConfig, loader: Iterator,
                  output_dir: str = "./output", task: str = "detection",
                  has_masks: bool = True, use_mesh: bool = True,
+                 video: bool = False,
                  eval_fn: Optional[Callable] = None,
                  eval_period: int = 5000,
                  log_period: int = 20,
@@ -61,11 +63,20 @@ class Trainer:
             if use_mesh else None
 
         first = next(loader)
-        self.model, self.state = create_train_state(
-            cfg, jax.random.PRNGKey(0), _to_jnp(first), task=task,
-            has_masks=has_masks)
-        self._step = make_train_step(self.model, cfg, task, mesh=self.mesh,
-                                     has_masks=has_masks)
+        if video:
+            # stage-3 (key, ref) pair batches (data/video.py collate_video)
+            self.model, self.state = create_video_train_state(
+                cfg, jax.random.PRNGKey(0), _to_jnp(first), task=task,
+                has_masks=has_masks)
+            self._step = make_video_train_step(self.model, cfg,
+                                               mesh=self.mesh, task=task,
+                                               has_masks=has_masks)
+        else:
+            self.model, self.state = create_train_state(
+                cfg, jax.random.PRNGKey(0), _to_jnp(first), task=task,
+                has_masks=has_masks)
+            self._step = make_train_step(self.model, cfg, task,
+                                         mesh=self.mesh, has_masks=has_masks)
         self._pending_first = first
 
     def resume_or_load(self, init_weights: Optional[str] = None):
