@@ -333,12 +333,14 @@ def main():
         final["extra"] = {k: {kk: v[kk] for kk in
                               ("value", "unit", "vs_baseline")}
                           for k, v in results.items()}
-        # end-to-end AP evidence (tools/real_ap_check.py), if present
-        ap_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "APRESULT.json")
-        if os.path.exists(ap_path):
-            with open(ap_path) as f:
-                final["extra"]["real_format_ap"] = json.load(f)
+        # end-to-end AP evidence (tools/real_ap_check.py, real_vis_check.py)
+        here = os.path.dirname(os.path.abspath(__file__))
+        for fn, key in (("APRESULT.json", "real_format_ap"),
+                        ("VISRESULT.json", "real_format_vis_map")):
+            p = os.path.join(here, fn)
+            if os.path.exists(p):
+                with open(p) as f:
+                    final["extra"][key] = json.load(f)
         print(json.dumps(final), flush=True)
 
 

@@ -138,3 +138,26 @@ def test_grounding_inference(setup):
         task="grounding", train=False))(params)
     assert out["pred_logits"].shape == (B, cfg.transformer.num_queries, 1)
     assert np.all(np.isfinite(np.asarray(out["pred_logits"])))
+
+
+def test_train_step_with_drop_path_backbone():
+    """Stochastic depth (ViT/ConvNeXt drop-path) needs the 'droppath' rng
+    stream in the train step — regression for a crash where only {'dn'} was
+    supplied (flax InvalidRngError on vit_drop_path_rate>0 configs)."""
+    from uninext_tpu.config import BackboneConfig
+    from uninext_tpu.engine.train import create_train_state, make_train_step
+
+    cfg = dataclasses.replace(
+        small_cfg(),
+        backbone=BackboneConfig(
+            name="vit_huge", vit_embed_dim=32, vit_depth=2, vit_num_heads=2,
+            vit_window_size=4, vit_global_blocks=(1,),
+            out_channels=(16, 32, 32), vit_flash_attn=False,
+            vit_drop_path_rate=0.5))
+    images, img_mask, sizes, tids, tmask, targets = make_batch(0)
+    batch = {"images": images, "img_mask": img_mask, "image_sizes": sizes,
+             "text_ids": tids, "text_mask": tmask, "targets": targets}
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model, cfg, task="detection")
+    state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["total_loss"]))

@@ -95,6 +95,7 @@ def test_build_recipe_image_smoke(tmp_path, monkeypatch):
     cfg2, datasets, ratios, video = registry.build_recipe(
         "single_task_det", cfg)
     assert not video and len(datasets) == 1 and ratios == [1.0]
+    assert datasets[0][3] == "detection"      # per-batch task routing tag
     assert cfg2.solver.max_iter == 177600       # single_task_det.yaml
     loader = MultiDatasetLoader(datasets, ratios, num_workers=1)
     b = next(iter(loader))

@@ -98,3 +98,67 @@ def test_trainer_video_mode(tmp_path):
                  use_mesh=False, video=True, log_period=1)
     tr.train()
     assert int(tr.state.step) == 2
+
+
+def test_sot_train_step():
+    """SOT stage-3 step (forward_sot_train): template from the ref frame's
+    gt box as the prompt, grounding-style losses on the key frame, no reid
+    (reference coco_forward_sot, ddetrs_vid.py:197)."""
+    from uninext_tpu.engine.train import (create_video_train_state,
+                                          make_video_train_step)
+
+    cfg = small_cfg()
+    images, img_mask, sizes, tids, tmask, targets_key = make_batch(0)
+    batch = {
+        "images_key": images, "images_ref": make_batch(1)[0],
+        "img_mask": img_mask, "image_sizes": sizes,
+        "text_ids": tids, "text_mask": tmask,
+        "targets_key": targets_key, "targets_ref": dict(targets_key),
+    }
+    model, state = create_video_train_state(cfg, jax.random.PRNGKey(0),
+                                            batch, task="sot")
+    step = make_video_train_step(model, cfg, task="sot")
+    losses = []
+    rng = jax.random.PRNGKey(7)
+    for i in range(3):
+        rng, sr = jax.random.split(rng)
+        state, metrics = step(state, batch, sr)
+        losses.append(float(metrics["total_loss"]))
+        assert np.isfinite(losses[-1])
+        assert "loss_reid" not in metrics          # sot has no reid loss
+    assert losses[-1] < losses[0]
+
+
+def test_trainer_routes_tagged_batches():
+    """Batches tagged "__task__" (multi-task recipes) are routed to the
+    matching train step: a detection (reid) batch and a sot (template)
+    batch train through ONE Trainer/state."""
+    from uninext_tpu.engine.trainer import Trainer
+
+    cfg = dataclasses.replace(small_cfg(), use_reid=True)
+    cfg = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver, max_iter=2,
+                                        checkpoint_period=1000,
+                                        warmup_iters=1))
+    images, img_mask, sizes, tids, tmask, targets_key = make_batch(0)
+    base = {
+        "images_key": np.asarray(images), "images_ref": np.asarray(
+            make_batch(1)[0]),
+        "img_mask": np.asarray(img_mask), "image_sizes": np.asarray(sizes),
+        "text_ids": np.asarray(tids), "text_mask": np.asarray(tmask),
+        "targets_key": jax.tree.map(np.asarray, targets_key),
+        "targets_ref": jax.tree.map(np.asarray, dict(targets_key)),
+    }
+
+    def loader():
+        i = 0
+        while True:
+            yield {**base, "__task__": ("detection" if i % 2 == 0
+                                        else "sot")}
+            i += 1
+
+    tr = Trainer(cfg, loader(), output_dir="/tmp/route_test",
+                 use_mesh=False, video=True, log_period=1)
+    tr.train()
+    assert int(tr.state.step) == 2
+    assert set(tr._steps) == {"detection", "sot"}

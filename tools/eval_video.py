@@ -135,6 +135,21 @@ def run_vis(args, model, params, cfg, HW):
     package_ytvis_submission(results,
                              os.path.join(args.output_dir, "submission.zip"))
     print(f"[vis] {len(results)} tracks -> {path}")
+    # score locally when the json carries gt tracks (train/minival splits;
+    # the official valid.json has none — server-only, as in the reference)
+    with open(js) as f:
+        gt = json.load(f)
+    if any(a.get("segmentations") for a in gt.get("annotations", [])):
+        from uninext_tpu.evaluation.ytvis_eval import evaluate_ytvis
+        if args.max_videos:
+            keep = {r["video_id"] for r in results}
+            gt = {**gt,
+                  "videos": [v for v in gt["videos"] if v["id"] in keep],
+                  "annotations": [a for a in gt["annotations"]
+                                  if a["video_id"] in keep]}
+        res = evaluate_ytvis(results, gt)
+        print(json.dumps({"vis_" + k: round(v, 4)
+                          for k, v in res.items()}, indent=1))
 
 
 def run_sot(args, model, params, cfg, HW):
@@ -201,15 +216,23 @@ def run_vos(args, model, params, cfg, HW):
                 ys, xs = np.nonzero(am == oid)
                 gm = np.zeros((H, W), np.float32)
                 gm[:h, :w] = (am == oid)[iy][:, ix]
+                # exclusive max edge (+1), matching the driver's 3f-refresh
+                # boxes (sot_inference.py) and the reference mask->box rule
                 box = np.array([xs.min() * w / w0, ys.min() * h / h0,
-                                xs.max() * w / w0, ys.max() * h / h0],
-                               np.float32)
+                                (xs.max() + 1) * w / w0,
+                                (ys.max() + 1) * h / h0], np.float32)
                 init[int(oid)] = {"frame": fi, "mask": gm, "box_xyxy": box}
         labels = drv.run_video(frames, img_masks, sizes, init)
         gt_by_obj, pred_by_obj = {}, {}
+        # submission PNGs go out at the annotation's ORIGINAL resolution
+        # (the official evaluators/servers reject network-scale frames);
+        # nearest-neighbor upsample of the [:h,:w] content region
+        oy = (np.arange(h0) * h) // h0
+        ox = (np.arange(w0) * w) // w0
         for fi, lab in enumerate(labels):
-            save_davis_png(lab, os.path.join(args.output_dir, vid,
-                                             fns[fi].replace(".jpg", ".png")))
+            save_davis_png(lab[oy][:, ox],
+                           os.path.join(args.output_dir, vid,
+                                        fns[fi].replace(".jpg", ".png")))
         # score frames that have gt annotations
         for fi, a in enumerate(anns):
             if fi >= len(labels):

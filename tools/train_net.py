@@ -94,14 +94,17 @@ def main():
         cfg, datasets, ratios, video = registry.build_recipe(args.recipe, cfg)
     else:
         cfg = apply_overrides(cfg, args.opts)
+    coco_records = refcoco_records = None
     if args.coco_json:
-        records, categories = load_coco_json(args.coco_json, args.image_root)
+        coco_records, categories = load_coco_json(args.coco_json,
+                                                  args.image_root)
         mapper = UniDatasetMapper(cfg.data, categories, is_train=True)
-        datasets.append((records, mapper, 2))
+        datasets.append((coco_records, mapper, 2))
     if args.refcoco_json:
-        records = load_refcoco_json(args.refcoco_json, args.image_root)
+        refcoco_records = load_refcoco_json(args.refcoco_json,
+                                            args.image_root)
         mapper = UniDatasetMapper(cfg.data, categories, is_train=True)
-        datasets.append((records, mapper, 2))
+        datasets.append((refcoco_records, mapper, 2))
     if not datasets:
         raise SystemExit("no datasets given (--coco-json/--refcoco-json)")
 
@@ -133,16 +136,15 @@ def main():
         tok = BertTokenizer()
         eval_mapper = UniDatasetMapper(cfg.data, categories, tok,
                                        is_train=False, with_masks=False)
+        # the jsons were already parsed above — no reload
         if args.task == "grounding":
-            records = load_refcoco_json(args.refcoco_json, args.image_root)
-            res = evaluate_refcoco(model, cfg, params, records, eval_mapper)
+            res = evaluate_refcoco(model, cfg, params, refcoco_records,
+                                   eval_mapper)
         else:
-            records, categories = load_coco_json(args.coco_json,
-                                                 args.image_root)
             _, _, cmap = create_label_token_map(categories, tok,
                                                 cfg.data.max_text_len)
             ev = DetectionEvaluator(model, cfg, cmap, with_masks=False)
-            res = ev.evaluate(params, records, eval_mapper)
+            res = ev.evaluate(params, coco_records, eval_mapper)
         print(json_mod.dumps({k: float(v) for k, v in res.items()
                               if isinstance(v, (int, float))}, indent=1))
         return

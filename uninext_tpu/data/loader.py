@@ -47,7 +47,11 @@ def collate(samples: Sequence[MappedSample]) -> Dict[str, np.ndarray]:
 class MultiDatasetLoader:
     """Infinite stream of collated batches.
 
-    datasets: list of (records, mapper, batch_size); ratios: sampling weights.
+    datasets: list of (records, mapper, batch_size[, task]); ratios:
+    sampling weights. With the optional 4th element, emitted batches carry
+    a host-side "__task__" key so a joint-stage trainer can route each batch
+    to the matching train step (detection / grounding / sot) — the
+    reference's dataset_source dispatch (uninext_vid.py:256-300).
     """
 
     def __init__(self, datasets: List[tuple], ratios: Sequence[float],
@@ -64,7 +68,7 @@ class MultiDatasetLoader:
 
     def _sample_records(self) -> Iterator[tuple]:
         rng = random.Random(self.seed + self.process_index)
-        orders = [list(range(len(recs))) for recs, _, _ in self.datasets]
+        orders = [list(range(len(ds[0]))) for ds in self.datasets]
         cursors = [len(o) for o in orders]  # trigger shuffle on first use
         i = 0
         while True:
@@ -110,9 +114,12 @@ class MultiDatasetLoader:
                 batch = groups.pop(key)
                 if is_pair:
                     from .video import collate_video
-                    yield collate_video(batch)
+                    out = collate_video(batch)
                 else:
-                    yield collate(batch)
+                    out = collate(batch)
+                if len(self.datasets[d]) > 3:
+                    out["__task__"] = self.datasets[d][3]
+                yield out
 
 
 def prefetch(iterator: Iterator, size: int = 2) -> Iterator:

@@ -341,7 +341,7 @@ def build_recipe(name: str, cfg, tokenizer=None):
     video = any(r[5] is not None for r in rows)
     datasets, ratios = [], []
     for (ds_name, ratio, bs, min_sizes, max_size, frange) in rows:
-        records, cats, _task = get_dataset(ds_name)
+        records, cats, ds_task = get_dataset(ds_name)
         dcfg = dataclasses.replace(cfg.data, min_size_train=tuple(min_sizes),
                                    max_size_train=max_size)
         cats = cats or ["object"]
@@ -352,7 +352,10 @@ def build_recipe(name: str, cfg, tokenizer=None):
                                      sampling_frame_range=frange or 1)
         else:
             mapper = UniDatasetMapper(dcfg, cats, tok)
-        datasets.append((records, mapper, bs))
+        # per-batch train-step routing (reference dataset_source semantics):
+        # "sot" rows train the template path, "grounding" the expression path
+        task = ds_task if ds_task in ("sot", "grounding") else "detection"
+        datasets.append((records, mapper, bs, task))
         ratios.append(ratio)
     cfg = dataclasses.replace(
         cfg, solver=dataclasses.replace(cfg.solver, steps=(step,),

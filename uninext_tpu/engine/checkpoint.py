@@ -41,7 +41,7 @@ class CheckpointManager:
         try:
             restored = self._mgr.restore(
                 step, args=ocp.args.StandardRestore({"params": params}))
-        except BaseException:
+        except (ValueError, KeyError, TypeError):
             # orbax versions that require the full saved structure
             restored = self._mgr.restore(step)
         return restored["params"], True

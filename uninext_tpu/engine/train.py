@@ -81,7 +81,8 @@ def create_train_state(cfg: UninextConfig, rng: jax.Array,
     # keep it out of the traced pytree.
     traced_targets = {k: v for k, v in targets.items() if k != "has_masks"}
     init_fn = jax.jit(lambda r, b, t: model.init(
-        {"params": r, "dn": jax.random.fold_in(r, 1)},
+        {"params": r, "dn": jax.random.fold_in(r, 1),
+         "droppath": jax.random.fold_in(r, 7)},
         b["images"], b["img_mask"], b["image_sizes"], b["text_ids"],
         b["text_mask"], task=task, targets={**t, "has_masks": has_masks},
         train=True))
@@ -120,7 +121,8 @@ def make_train_step(model: UninextDETR, cfg: UninextConfig, task: str,
                 {"params": params}, batch["images"], batch["img_mask"],
                 batch["image_sizes"], batch["text_ids"], batch["text_mask"],
                 task=task, targets=targets, train=True,
-                rngs={"dn": rng})
+                rngs={"dn": rng,
+                      "droppath": jax.random.fold_in(rng, 7)})
             return weighted_total(losses, weights), losses
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -149,9 +151,11 @@ def make_train_step(model: UninextDETR, cfg: UninextConfig, task: str,
 def make_video_train_step(model: UninextDETR, cfg: UninextConfig,
                           mesh: Mesh | None = None, has_masks: bool = True,
                           task: str = "detection"):
-    """Stage-3 two-frame (key, ref) step: detection losses on the key frame
-    + contrastive reid against the ref frame (reference
-    DDETRSegmUniVID.coco_forward_vis). Batch layout = data.video.collate_video."""
+    """Stage-3 two-frame (key, ref) step. task="detection"/"grounding":
+    detection losses on the key frame + contrastive reid against the ref
+    frame (reference DDETRSegmUniVID.coco_forward_vis). task="sot": the ref
+    frame contributes only the template crop prompt, no reid
+    (coco_forward_sot). Batch layout = data.video.collate_video."""
     weights = loss_weights(cfg)
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
@@ -162,12 +166,22 @@ def make_video_train_step(model: UninextDETR, cfg: UninextConfig,
             return out
 
         def loss_fn(params):
-            losses = model.apply(
-                {"params": params}, batch["images_key"], batch["img_mask"],
-                batch["image_sizes"], batch["text_ids"], batch["text_mask"],
-                tgt(batch["targets_key"]), tgt(batch["targets_ref"]),
-                batch["images_ref"], task=task, rngs={"dn": rng},
-                method=UninextDETR.forward_video_train)
+            rngs = {"dn": rng, "droppath": jax.random.fold_in(rng, 7)}
+            if task == "sot":
+                losses = model.apply(
+                    {"params": params}, batch["images_key"],
+                    batch["img_mask"], batch["image_sizes"],
+                    tgt(batch["targets_key"]), tgt(batch["targets_ref"]),
+                    batch["images_ref"], rngs=rngs,
+                    method=UninextDETR.forward_sot_train)
+            else:
+                losses = model.apply(
+                    {"params": params}, batch["images_key"],
+                    batch["img_mask"], batch["image_sizes"],
+                    batch["text_ids"], batch["text_mask"],
+                    tgt(batch["targets_key"]), tgt(batch["targets_ref"]),
+                    batch["images_ref"], task=task, rngs=rngs,
+                    method=UninextDETR.forward_video_train)
             return weighted_total(losses, weights), losses
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -186,7 +200,8 @@ def make_video_train_step(model: UninextDETR, cfg: UninextConfig,
 
 def create_video_train_state(cfg: UninextConfig, rng: jax.Array,
                              sample_batch: Dict[str, jnp.ndarray],
-                             has_masks: bool = True, task: str = "detection"
+                             has_masks: bool = True, task: str = "detection",
+                             init_all: bool = False
                              ) -> Tuple[UninextDETR, TrainState]:
     model = UninextDETR(cfg)
 
@@ -195,13 +210,21 @@ def create_video_train_state(cfg: UninextConfig, rng: jax.Array,
         out["has_masks"] = has_masks
         return out
 
-    init_fn = jax.jit(lambda r, b: model.init(
-        {"params": r, "dn": jax.random.fold_in(r, 1)},
-        b["images_key"], b["img_mask"], b["image_sizes"], b["text_ids"],
-        b["text_mask"], tgt(b["targets_key"]), tgt(b["targets_ref"]),
-        b["images_ref"], task=task,
-        method=UninextDETR.forward_video_train))
-    params = init_fn(rng, sample_batch)["params"]
+    if task == "sot" or init_all:
+        # the sot path exercises the template branch (template backbone,
+        # adjust_layer, sot_fuser); init every branch so checkpoints from
+        # mixed-task stage-3 training are complete regardless of task order
+        from ..models.detr import init_all_paths
+        params = init_all_paths(model, rng)["params"]
+    else:
+        init_fn = jax.jit(lambda r, b: model.init(
+            {"params": r, "dn": jax.random.fold_in(r, 1),
+             "droppath": jax.random.fold_in(r, 7)},
+            b["images_key"], b["img_mask"], b["image_sizes"], b["text_ids"],
+            b["text_mask"], tgt(b["targets_key"]), tgt(b["targets_ref"]),
+            b["images_ref"], task=task,
+            method=UninextDETR.forward_video_train))
+        params = init_fn(rng, sample_batch)["params"]
     tx = build_optimizer(cfg.solver, params)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=tx.init(params), tx=tx)

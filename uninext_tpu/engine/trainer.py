@@ -63,21 +63,37 @@ class Trainer:
             if use_mesh else None
 
         first = next(loader)
+        # multi-task recipes tag each batch with a host-side "__task__"
+        # (data/loader.py); route every batch to the matching train step —
+        # the reference's per-dataset_source dispatch (uninext_vid.py:256).
+        self.video = video
+        self.has_masks = has_masks
+        self._routed = "__task__" in first
+        first_task = first.get("__task__", task)
         if video:
             # stage-3 (key, ref) pair batches (data/video.py collate_video)
             self.model, self.state = create_video_train_state(
-                cfg, jax.random.PRNGKey(0), _to_jnp(first), task=task,
-                has_masks=has_masks)
-            self._step = make_video_train_step(self.model, cfg,
-                                               mesh=self.mesh, task=task,
-                                               has_masks=has_masks)
+                cfg, jax.random.PRNGKey(0), _to_jnp(_strip(first)),
+                task=first_task, has_masks=has_masks,
+                init_all=self._routed)   # any task may follow: init all
+            self._steps = {}
         else:
             self.model, self.state = create_train_state(
-                cfg, jax.random.PRNGKey(0), _to_jnp(first), task=task,
-                has_masks=has_masks)
-            self._step = make_train_step(self.model, cfg, task,
-                                         mesh=self.mesh, has_masks=has_masks)
+                cfg, jax.random.PRNGKey(0), _to_jnp(_strip(first)),
+                task=first_task, has_masks=has_masks)
+            self._steps = {}
+        self._step_for(first_task)
         self._pending_first = first
+
+    def _step_for(self, task: str):
+        if task not in self._steps:
+            self._steps[task] = (
+                make_video_train_step(self.model, self.cfg, mesh=self.mesh,
+                                      task=task, has_masks=self.has_masks)
+                if self.video else
+                make_train_step(self.model, self.cfg, task, mesh=self.mesh,
+                                has_masks=self.has_masks))
+        return self._steps[task]
 
     def resume_or_load(self, init_weights: Optional[str] = None):
         self.state, resumed = self.ckpt.resume_or_load(self.state,
@@ -98,8 +114,10 @@ class Trainer:
                 jax.profiler.stop_trace()
             t0 = time.perf_counter()
             rng, step_rng = jax.random.split(rng)
-            self.state, metrics = self._step(self.state, _to_jnp(batch),
-                                             step_rng)
+            step = self._step_for(batch["__task__"]) if "__task__" in batch \
+                else self._step_for(self.task)
+            self.state, metrics = step(self.state, _to_jnp(_strip(batch)),
+                                       step_rng)
             try:
                 batch = next(data_iter)          # overlap host mapping
             except StopIteration:
@@ -118,6 +136,11 @@ class Trainer:
                 self.storage.put_scalars(**{f"eval/{k}": v
                                             for k, v in results.items()})
         self.ckpt.save(cfg.max_iter, self.state)
+
+
+def _strip(batch):
+    """Drop host-side routing keys before the batch enters jit."""
+    return {k: v for k, v in batch.items() if k != "__task__"}
 
 
 def _to_jnp(batch):

@@ -65,3 +65,78 @@ def track_to_bdd_scalabel(video_name: str, frame_names: List[str],
         frames.append({"videoName": video_name, "name": fname,
                        "frameIndex": i, "labels": labels})
     return frames
+
+
+def _seg_to_mask(seg, h: int, w: int) -> np.ndarray:
+    """Per-frame segmentation (polygon list | RLE dict | None) -> (H, W)."""
+    from ..data.masks import decode_mask, polygons_to_mask
+    if seg is None:
+        return np.zeros((h, w), bool)
+    if isinstance(seg, dict):
+        return decode_mask(seg).astype(bool)
+    return polygons_to_mask(seg, h, w).astype(bool)
+
+
+def evaluate_ytvis(results: List[Dict], gt: Dict) -> Dict[str, float]:
+    """Offline YouTube-VIS track mAP.
+
+    The reference only FORMATS results for the codalab servers
+    (data/ytvis_eval.py:23); this implements the official protocol locally
+    so VIS runs terminate in a number without a server: the spatio-temporal
+    track IoU (sum of per-frame intersections / sum of per-frame unions,
+    absent frames = empty masks) plugs into the standard COCO matching
+    machinery by treating each VIDEO as one image and each track's (T, H, W)
+    mask volume as its "mask" (evaluation/coco_eval.py reuses unchanged —
+    mask_iou flattens trailing dims, which IS the spatio-temporal IoU).
+
+    results: ytvis result records (video_output_to_ytvis format);
+    gt: ytvis-schema dict (videos / annotations / categories).
+    """
+    from .coco_eval import COCOEvaluator
+
+    ev = COCOEvaluator(iou_type="segm")
+    anns_by_vid: Dict[int, List[Dict]] = {}
+    for a in gt.get("annotations", []):
+        anns_by_vid.setdefault(a["video_id"], []).append(a)
+    res_by_vid: Dict[int, List[Dict]] = {}
+    for r in results:
+        res_by_vid.setdefault(r["video_id"], []).append(r)
+
+    def area_box(vol):
+        # area-range machinery keys off box area; use the track's mean
+        # per-present-frame mask area (the ytvis protocol's area measure)
+        present = vol.reshape(vol.shape[0], -1).sum(1)
+        a = float(present[present > 0].mean()) if (present > 0).any() else 0.0
+        s = float(np.sqrt(a))
+        return [0.0, 0.0, s, s]
+
+    for vid in gt["videos"]:
+        h, w, T = vid["height"], vid["width"], vid["length"]
+        g_vols, g_cls = [], []
+        for a in anns_by_vid.get(vid["id"], []):
+            segs = a.get("segmentations") or [None] * T
+            g_vols.append(np.stack([_seg_to_mask(s, h, w)
+                                    for s in segs[:T]]
+                                   + [np.zeros((h, w), bool)] *
+                                   max(0, T - len(segs))))
+            g_cls.append(a["category_id"])
+        p_vols, p_cls, p_scores = [], [], []
+        for r in res_by_vid.get(vid["id"], []):
+            segs = r.get("segmentations") or [None] * T
+            p_vols.append(np.stack([_seg_to_mask(s, h, w)
+                                    for s in segs[:T]]
+                                   + [np.zeros((h, w), bool)] *
+                                   max(0, T - len(segs))))
+            p_cls.append(r["category_id"])
+            p_scores.append(r["score"])
+        ev.add(
+            {"boxes": np.array([area_box(v) for v in g_vols], np.float32
+                               ).reshape(-1, 4),
+             "classes": np.asarray(g_cls, np.int64),
+             "masks": g_vols},
+            {"boxes": np.array([area_box(v) for v in p_vols], np.float32
+                               ).reshape(-1, 4),
+             "classes": np.asarray(p_cls, np.int64),
+             "scores": np.asarray(p_scores, np.float32),
+             "masks": p_vols})
+    return ev.evaluate()

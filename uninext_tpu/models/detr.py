@@ -482,7 +482,6 @@ class UninextDETR(nn.Module):
             trans, task, lang["masks"])
 
         pad = dn_tgt.shape[1] if use_dn else 0
-        from .transformer import compute_valid_ratios
         outputs = {
             "spatial_shapes": spatial_shapes,
             "memory": trans["memory"],
@@ -493,9 +492,8 @@ class UninextDETR(nn.Module):
             # deformable reid head inputs (reference src_info +
             # inter_references[-1], ddetrs_dn.py:388-391)
             "final_reference": trans["inter_references"][-1][:, pad:],
-            "mask_flatten": jnp.concatenate(
-                [m.reshape(m.shape[0], -1) for m in masks], 1),
-            "valid_ratios": compute_valid_ratios(masks),
+            "mask_flatten": trans["mask_flatten"],
+            "valid_ratios": trans["valid_ratios"],
         }
         # split dn part from matching part
         outputs["layers"] = []
@@ -781,6 +779,49 @@ class UninextDETR(nn.Module):
             row_valid.reshape(B * G), cos.reshape(B * G, Q))
         losses.update(reid_losses)
         return losses
+
+    def forward_sot_train(self, images_key, img_mask, image_sizes,
+                          targets_key, targets_ref, images_ref):
+        """SOT/VOS stage-3 training: the ref frame contributes ONLY a
+        template crop around its gt box, encoded as the pseudo-language
+        prompt for a standard grounding-style detection pass on the key
+        frame. No reid loss. Parity: DDETRSegmUniVID.coco_forward_sot
+        (ddetrs_vid.py:197-270 — template via get_template(_4c), pooled
+        template feature as classifier, full per-layer matching + losses).
+
+        Assumes key/ref share a clip-consistent resolution (the SOT video
+        mappers guarantee it); the template box is the FIRST valid ref slot.
+        """
+        from .sot import crop_template
+        c = self.cfg
+        B, G = targets_ref["valid"].shape
+        idx = jnp.argmax(targets_ref["valid"].astype(jnp.int32), axis=1)
+        box_n = jnp.take_along_axis(
+            targets_ref["boxes"], idx[:, None, None], axis=1)[:, 0]  # cxcywh
+        hw = image_sizes.astype(jnp.float32)                  # (B, 2) (h, w)
+        w, h = hw[:, 1], hw[:, 0]
+        box_xyxy = jnp.stack(
+            [(box_n[:, 0] - box_n[:, 2] / 2) * w,
+             (box_n[:, 1] - box_n[:, 3] / 2) * h,
+             (box_n[:, 0] + box_n[:, 2] / 2) * w,
+             (box_n[:, 1] + box_n[:, 3] / 2) * h], axis=1)
+        gm = None
+        mask_channel = c.sot.extra_backbone_for_template
+        if mask_channel and "masks" in targets_ref:
+            m4 = jnp.take_along_axis(
+                targets_ref["masks"], idx[:, None, None, None],
+                axis=1)[:, 0]                                 # (B, H/4, W/4)
+            gm = jnp.repeat(jnp.repeat(m4, 4, axis=1), 4, axis=2)
+            gm = gm[:, :images_ref.shape[1], :images_ref.shape[2]]
+        crop, pad = crop_template(
+            images_ref, box_xyxy, c.sot.template_size,
+            c.sot.search_area_factor, gt_masks=gm, mask_channel=mask_channel,
+            pad_masks=img_mask)
+        lang = self.encode_template(crop, pad)
+        dummy_ids = jnp.zeros((B, 1), jnp.int32)
+        return self(images_key, img_mask, image_sizes, dummy_ids,
+                    jnp.ones((B, 1), jnp.int32), task="grounding",
+                    targets=targets_key, train=True, lang_dict=lang)
 
     # ------------------------------------------------------------------
     def inference_outputs(self, outputs, task, lang_mask, image_sizes):

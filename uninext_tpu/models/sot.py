@@ -72,7 +72,10 @@ def crop_template(images: jnp.ndarray, boxes_xyxy: jnp.ndarray,
         x0, y0, x1b, y1b = box
         w = x1b - x0
         h = y1b - y0
-        crop_sz = jnp.ceil(jnp.sqrt(w * h) * search_area_factor)
+        # clamp: a degenerate (zero-area) box must not produce crop_sz=0,
+        # whose -1 tap indices would silently wrap and sample garbage
+        crop_sz = jnp.maximum(jnp.ceil(jnp.sqrt(w * h) * search_area_factor),
+                              1.0)
         xa = jnp.round(x0 + 0.5 * w - crop_sz * 0.5)
         ya = jnp.round(y0 + 0.5 * h - crop_sz * 0.5)
         xb = xa + crop_sz

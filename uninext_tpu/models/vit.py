@@ -170,7 +170,7 @@ def flash_rel_pos_attention(q, k, v, Rh, Rw, scale: float) -> jnp.ndarray:
                                 jnp.full((Sp - S,), -1e9, dt)])
         ke = ke.at[:, :, :, d_raw - 1].set(flag[None, :, None])
     vf = jnp.pad(v, ((0, 0), (0, Sp - S), (0, 0), (0, DP - hd)))
-    bk = 256 if Sp % 256 == 0 else 128
+    bk = 256                       # Sp is always padded to a 256 multiple
     bkm = _pick_block(Sp, bk, 1280)
     bq = _pick_block(Sp, 128, 768)
     bs = fa.BlockSizes(
@@ -368,6 +368,13 @@ class ViT(nn.Module):
         dpr = np.linspace(0, self.drop_path_rate, self.depth)
         flash = (self.use_flash if self.use_flash is not None
                  else jax.default_backend() == "tpu")
+        # pallas_call has no SPMD partitioner: under tensor parallelism
+        # ("model" mesh axis > 1) the XLA rel-pos path must be used — same
+        # mesh gate as ops/msda.py
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is not None and "model" in mesh.axis_names \
+                and dict(mesh.shape).get("model", 1) > 1:
+            flash = False
         for i in range(self.depth):
             is_global = self._is_global(i)
             x = ViTBlock(self.embed_dim, self.num_heads,

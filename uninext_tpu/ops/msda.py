@@ -18,13 +18,21 @@ TPU-first design (profiled on v5e):
   * The zero border makes corner handling branch-free: in-frame clipping plus
     a single per-point in-range mask reproduce grid_sample's zero padding
     exactly (border contributions land on zero rows).
-  * One global `jnp.take` over all (level, head, point) samples — a single
-    fused gather instead of 16 batched ones.
+  * PER-LEVEL packed tables with ONE p-major `promise_in_bounds` gather per
+    level; the fold consumes the gather output through its transposed view
+    (XLA's row gather emits column-major output — any row-major consumer
+    inserts a full relayout copy): corner fold as 4 sublane-block multiplies,
+    point fold as 128-aligned lane-block adds, one final output transpose.
+    A single fused all-level gather reaches a faster emitter regime but
+    loses more in its fold — measured, not adopted (docs/PERF.md).
   * `spatial_shapes` is a STATIC python tuple: sizes are bucketed by the data
     pipeline, every level arithmetic constant-folds, no level_start_index
     tensor exists at runtime.
-  * Autodiff: gather -> scatter-add transpose; pad/roll/concat transposes are
-    slices/rolls. Same numerics as the reference col2im backward.
+  * Backward: hand-written `jax.custom_vjp` (`_msda_packed_bwd`) — dvalue as
+    a row-major corner-packed scatter-add (the pack inverted by three rolls
+    and a sum), dloc/datt by regathering the corners and folding per-sample
+    dot products. Same numerics as the reference col2im backward; f64-exact
+    vs AD of the independent unpacked formulation (tests/test_msda.py).
 
 Layouts:
   value:              (B, S, M, D)    S = sum(H_l * W_l)
