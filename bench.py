@@ -336,7 +336,9 @@ def main():
         # end-to-end AP evidence (tools/real_ap_check.py, real_vis_check.py)
         here = os.path.dirname(os.path.abspath(__file__))
         for fn, key in (("APRESULT.json", "real_format_ap"),
-                        ("VISRESULT.json", "real_format_vis_map")):
+                        ("VISRESULT.json", "real_format_vis_map"),
+                        ("SOTRESULT.json", "real_format_sot_auc"),
+                        ("RECRESULT.json", "real_format_rec")):
             p = os.path.join(here, fn)
             if os.path.exists(p):
                 with open(p) as f:

@@ -43,3 +43,28 @@ def test_mini_coco_is_real_coco_format(tmp_path):
     s = mapper(records[0])
     assert s.valid.sum() >= 1
     assert np.isfinite(s.image).all()
+
+
+def test_make_mini_ytvis_loads_through_registry_schema(tmp_path):
+    from uninext_tpu.data.mini_coco import make_mini_ytvis
+    from uninext_tpu.data.video import load_ytvis_json
+    p = make_mini_ytvis(str(tmp_path), n_train=2, n_val=1, length=3)
+    recs, cats = load_ytvis_json(p["train_json"], p["train_root"])
+    assert len(recs) == 2 and len(cats) == 3
+    r = recs[0]
+    assert r["length"] == 3 and len(r["file_names"]) == 3
+    assert r["tracks"] and len(r["tracks"][0]["bboxes"]) == 3
+    import os
+    assert all(os.path.exists(f) for f in r["file_names"])
+
+
+def test_make_mini_refcoco_expressions_resolvable(tmp_path):
+    from uninext_tpu.data.coco import load_refcoco_json
+    from uninext_tpu.data.mini_coco import make_mini_refcoco
+    p = make_mini_refcoco(str(tmp_path), n_train=4, n_val=2)
+    recs = load_refcoco_json(p["train_json"], p["train_root"])
+    assert recs and all(r["task"] == "grounding" for r in recs)
+    # every record grounds exactly one object with >= 2 expressions
+    for r in recs:
+        assert len(r["annotations"]) == 1
+        assert len(r["expressions"]) >= 2

@@ -188,3 +188,69 @@ def make_mini_ytvis(root: str, n_train: int = 8, n_val: int = 4,
         out[f"{split}_json"] = jpath
         out[f"{split}_root"] = img_root
     return out
+
+
+def make_mini_refcoco(root: str, n_train: int = 48, n_val: int = 16,
+                      seed: int = 0, img_size: Tuple[int, int] = (280, 360)
+                      ) -> Dict[str, str]:
+    """RefCOCO-format mini dataset (the d2-converted per-expression schema
+    of data/coco.py:load_refcoco_json): images contain 2-3 distinct-category
+    shapes; each record grounds ONE of them with an expression built from
+    its category and image side ("the red square on the left"). Category
+    alone is ambiguous only across images, never within one, so expressions
+    are uniquely resolvable."""
+    rng = np.random.RandomState(seed)
+    out = {}
+    img_id = 0
+    for split, n in (("train", n_train), ("val", n_val)):
+        img_dir = os.path.join(root, f"ref_{split}")
+        os.makedirs(img_dir, exist_ok=True)
+        records = []
+        for _ in range(n):
+            img_id += 1
+            h = int(rng.randint(img_size[0] - 40, img_size[0] + 40))
+            w = int(rng.randint(img_size[1] - 40, img_size[1] + 40))
+            yy, xx = np.mgrid[0:h, 0:w]
+            bg = (90 + 40 * np.sin(xx / 37.0) + 30 * np.cos(yy / 23.0)
+                  + rng.randn(h, w) * 12)
+            pil = Image.fromarray(np.clip(
+                np.stack([bg] * 3, -1), 0, 255).astype(np.uint8))
+            draw = ImageDraw.Draw(pil)
+            k = int(rng.randint(2, len(CATEGORIES) + 1))
+            picked = rng.choice(len(CATEGORIES), size=k, replace=False)
+            objs = []
+            for ci in picked:
+                cat = CATEGORIES[ci]
+                r = float(rng.uniform(26, 50))
+                cx = float(rng.uniform(r + 2, w - r - 2))
+                cy = float(rng.uniform(r + 2, h - r - 2))
+                poly = _polygon(cat["name"], cx, cy, r, rng)
+                base = np.array(_COLORS[cat["name"]], np.float32)
+                col = tuple(int(c) for c in np.clip(
+                    base + rng.randn(3) * 12, 0, 255))
+                draw.polygon(list(zip(poly[0::2], poly[1::2])), fill=col)
+                objs.append((cat, cx, cy, poly))
+            fn = f"{img_id:06d}.jpg"
+            pil.save(os.path.join(img_dir, fn), quality=92)
+            for cat, cx, cy, poly in objs:
+                side = ("left" if cx < w / 3 else
+                        "right" if cx > 2 * w / 3 else "middle")
+                xs, ys = poly[0::2], poly[1::2]
+                x0, y0 = max(min(xs), 0.0), max(min(ys), 0.0)
+                x1, y1 = min(max(xs), float(w)), min(max(ys), float(h))
+                records.append({
+                    "file_name": fn, "image_id": img_id,
+                    "height": h, "width": w,
+                    "annotations": [{
+                        "bbox": [x0, y0, x1 - x0, y1 - y0],
+                        "category_id": 0,
+                        "segmentation": [poly]}],
+                    "expressions": [f"the {cat['name']} on the {side}",
+                                    f"{cat['name']}"],
+                })
+        jpath = os.path.join(root, f"refcoco_{split}.json")
+        with open(jpath, "w") as f:
+            json.dump(records, f)
+        out[f"{split}_json"] = jpath
+        out[f"{split}_root"] = img_dir
+    return out
