@@ -134,3 +134,36 @@ def test_coco2video_converter_and_pair_loader(tmp_path, monkeypatch):
     assert b["images_key"].shape == b["images_ref"].shape
     assert b["images_key"].shape[0] == 2
     assert b["targets_key"]["boxes"].shape == b["targets_ref"]["boxes"].shape
+
+
+def test_rfs_and_class_aware_sampling():
+    """USE_RFS repeat factors + obj365 ClassAwareSampler distribution
+    (reference custom_dataset_dataloader.py:228-246, build.py:265)."""
+    from uninext_tpu.data.loader import (class_aware_weights,
+                                         repeat_factors_from_category_frequency)
+    recs = ([{"annotations": [{"category_id": 1}]}] * 90
+            + [{"annotations": [{"category_id": 2}]}] * 10)
+    # rare category (f=0.1) repeated sqrt(t/f) times at t=0.5; common capped 1
+    w = repeat_factors_from_category_frequency(recs, repeat_thresh=0.5)
+    assert w[95] > w[0]
+    assert abs(w.sum() - len(recs)) < 1e-6          # mass preserved
+    np.testing.assert_allclose(w[95] / w[0], np.sqrt(0.5 / 0.1), rtol=1e-6)
+
+    # class-aware: each category gets equal total mass -> rare recs 5x up
+    cw = class_aware_weights(recs)
+    assert abs(cw[:90].sum() - 0.5) < 1e-9
+    assert abs(cw[90:].sum() - 0.5) < 1e-9
+
+    # through the loader: rare category appears ~half the time
+    import collections
+    from uninext_tpu.data.loader import MultiDatasetLoader
+    tagged = [dict(r, i=i) for i, r in enumerate(recs)]
+    loader = MultiDatasetLoader([(tagged, lambda r, rng=None: r, 1)], [1.0],
+                                record_weights=[cw], seed=3)
+    counts = collections.Counter()
+    it = loader._sample_records()
+    for _ in range(2000):
+        _, r = next(it)
+        counts[r["annotations"][0]["category_id"]] += 1
+    frac = counts[2] / 2000
+    assert 0.4 < frac < 0.6, frac

@@ -149,8 +149,13 @@ def main():
                               if isinstance(v, (int, float))}, indent=1))
         return
 
+    rec_weights = None
+    if args.recipe:
+        from uninext_tpu.data.registry import recipe_record_weights
+        rec_weights = recipe_record_weights(args.recipe, datasets)
     loader = prefetch(iter(MultiDatasetLoader(
         datasets, ratios=ratios or [1.0] * len(datasets),
+        record_weights=rec_weights,
         process_index=jax.process_index(),
         process_count=jax.process_count())))
     trainer = Trainer(cfg, loader, output_dir=args.output_dir,

@@ -44,6 +44,49 @@ def collate(samples: Sequence[MappedSample]) -> Dict[str, np.ndarray]:
     return batch
 
 
+def _record_categories(record) -> set:
+    """Category ids present in an image or video record."""
+    if "tracks" in record:
+        return {t.get("category_id", 0) for t in record["tracks"]}
+    return {a.get("category_id", 0)
+            for a in record.get("annotations", [])}
+
+
+def repeat_factors_from_category_frequency(records: Sequence[Dict],
+                                           repeat_thresh: float = 0.001
+                                           ) -> np.ndarray:
+    """LVIS-style repeat factors (DATALOADER.USE_RFS — reference
+    MultiDatasetSampler, custom_dataset_dataloader.py:228-246, which calls
+    d2 RepeatFactorTrainingSampler.repeat_factors_from_category_frequency):
+    r(I) = max_{c in I} max(1, sqrt(t / f(c))), normalized to preserve the
+    dataset's total sampling mass."""
+    n = len(records)
+    freq: Dict[int, int] = {}
+    for r in records:
+        for c in _record_categories(r):
+            freq[c] = freq.get(c, 0) + 1
+    cat_rep = {c: max(1.0, np.sqrt(repeat_thresh / (f / n)))
+               for c, f in freq.items()}
+    w = np.array([max([cat_rep[c] for c in _record_categories(r)] or [1.0])
+                  for r in records], np.float64)
+    return w * (n / w.sum())
+
+
+def class_aware_weights(records: Sequence[Dict]) -> np.ndarray:
+    """ClassAwareSampler distribution (reference data/build.py:265, the
+    obj365 pretrain sampler): pick a category uniformly, then a record
+    containing it — P(I) = (1/C) * sum_{c in I} 1/N_c as per-record
+    weights."""
+    counts: Dict[int, int] = {}
+    for r in records:
+        for c in _record_categories(r):
+            counts[c] = counts.get(c, 0) + 1
+    w = np.array([sum(1.0 / counts[c] for c in _record_categories(r))
+                  for r in records], np.float64)
+    w[w == 0] = w[w > 0].min() if (w > 0).any() else 1.0
+    return w / w.sum()
+
+
 class MultiDatasetLoader:
     """Infinite stream of collated batches.
 
@@ -52,12 +95,18 @@ class MultiDatasetLoader:
     a host-side "__task__" key so a joint-stage trainer can route each batch
     to the matching train step (detection / grounding / sot) — the
     reference's dataset_source dispatch (uninext_vid.py:256-300).
+    record_weights: optional per-dataset per-record sampling weights
+    (None entry = uniform epoch shuffling); build with
+    `repeat_factors_from_category_frequency` (USE_RFS) or
+    `class_aware_weights` (obj365 ClassAwareSampler).
     """
 
     def __init__(self, datasets: List[tuple], ratios: Sequence[float],
                  seed: int = 0, num_workers: int = 4,
                  process_index: int = 0, process_count: int = 1,
-                 buckets_per_group: int = 32):
+                 buckets_per_group: int = 32,
+                 record_weights: Optional[Sequence[
+                     Optional[np.ndarray]]] = None):
         self.datasets = datasets
         self.ratios = np.asarray(ratios, np.float64)
         self.ratios /= self.ratios.sum()
@@ -65,6 +114,14 @@ class MultiDatasetLoader:
         self.num_workers = num_workers
         self.process_index = process_index
         self.process_count = process_count
+        self.record_weights = (list(record_weights) if record_weights
+                               else [None] * len(datasets))
+        for d, w in enumerate(self.record_weights):
+            if w is not None:
+                assert len(w) == len(datasets[d][0]), (
+                    f"dataset {d}: {len(w)} weights for "
+                    f"{len(datasets[d][0])} records")
+                self.record_weights[d] = np.asarray(w, np.float64).cumsum()
 
     def _sample_records(self) -> Iterator[tuple]:
         rng = random.Random(self.seed + self.process_index)
@@ -74,11 +131,18 @@ class MultiDatasetLoader:
         while True:
             d = rng.choices(range(len(self.datasets)), weights=self.ratios)[0]
             if i % self.process_count == self.process_index:
-                if cursors[d] >= len(orders[d]):
-                    rng.shuffle(orders[d])
-                    cursors[d] = 0
-                yield d, self.datasets[d][0][orders[d][cursors[d]]]
-                cursors[d] += 1
+                cum = self.record_weights[d]
+                if cum is not None:
+                    # weighted-with-replacement (reference multinomial)
+                    import bisect
+                    j = bisect.bisect_left(cum, rng.random() * cum[-1])
+                    yield d, self.datasets[d][0][min(j, len(cum) - 1)]
+                else:
+                    if cursors[d] >= len(orders[d]):
+                        rng.shuffle(orders[d])
+                        cursors[d] = 0
+                    yield d, self.datasets[d][0][orders[d][cursors[d]]]
+                    cursors[d] += 1
             else:
                 cursors[d] = (cursors[d] + 1) % max(len(orders[d]), 1)
             i += 1

@@ -323,11 +323,14 @@ def build_recipe(name: str, cfg, tokenizer=None):
     """Instantiate a TRAIN_RECIPES entry against the on-disk datasets.
 
     Returns (cfg', datasets, ratios, video) where cfg' carries the recipe's
-    LR schedule, datasets is [(records, mapper, batch_size)] ready for
+    LR schedule, datasets is [(records, mapper, batch_size, task)] ready for
     MultiDatasetLoader, and video says whether batches are (key, ref) pairs
     (use the stage-3 video train step). Mirrors what the reference assembles
     from the yaml DATASETS/DATALOADER/SOLVER blocks (train_net.py:95,
-    custom_dataset_dataloader.py:59).
+    custom_dataset_dataloader.py:59). The obj365 pretrain recipe gets the
+    reference's ClassAwareSampler distribution
+    (loader.class_aware_weights); pass the returned `datasets` plus
+    `record_weights=recipe_record_weights(name, datasets)` to the loader.
     """
     import dataclasses
 
@@ -361,6 +364,16 @@ def build_recipe(name: str, cfg, tokenizer=None):
         cfg, solver=dataclasses.replace(cfg.solver, steps=(step,),
                                         max_iter=max_iter))
     return cfg, datasets, ratios, video
+
+
+def recipe_record_weights(name: str, datasets):
+    """Per-dataset record-sampling weights for a recipe: the obj365 stage
+    uses class-aware sampling (obj365v2_32g_r50.yaml SAMPLER_TRAIN:
+    ClassAwareSampler); every shipped USE_RFS flag is False."""
+    if name == "obj365_pretrain":
+        from .loader import class_aware_weights
+        return [class_aware_weights(ds[0]) for ds in datasets]
+    return None
 
 
 # ---- Segmentation-in-the-Wild (25 coco-format subsets) ----
