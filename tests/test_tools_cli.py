@@ -107,3 +107,39 @@ def test_eval_video_vos_cli(tmp_path, monkeypatch, capsys):
     pngs = list((out / "toyvid").glob("*.png"))
     assert len(pngs) == 3
     assert Image.open(pngs[0]).mode == "P"
+
+
+def test_analyze_sot_results(tmp_path, monkeypatch, capsys):
+    """tools/analyze_sot_results.py (tools_bin/analysis_results.py parity):
+    reads <vid>.txt result files vs a LaSOT layout and prints AUC/P."""
+    import numpy as np
+    # LaSOT layout with 1 sequence, 4 frames
+    seq = tmp_path / "data" / "toy" / "toy-1"
+    (seq / "img").mkdir(parents=True)
+    gts = []
+    for fi in range(4):
+        gts.append(f"{20 + 2 * fi},24,30,28")
+    (seq / "groundtruth.txt").write_text("\n".join(gts) + "\n")
+    (seq / "full_occlusion.txt").write_text("0,0,0,0\n")
+    (seq / "out_of_view.txt").write_text("0,0,0,0\n")
+    # perfect tracker + a bad tracker
+    good = tmp_path / "good"
+    bad = tmp_path / "bad"
+    good.mkdir(), bad.mkdir()
+    pred = np.array([[20 + 2 * fi, 24, 30, 28] for fi in range(4)], float)
+    np.savetxt(good / "toy-1.txt", pred, fmt="%.2f", delimiter=",")
+    np.savetxt(good / "toy-1_time.txt", np.full(4, 0.02), fmt="%.6f")
+    np.savetxt(bad / "toy-1.txt", pred + [60, 60, 0, 0], fmt="%.2f",
+               delimiter=",")
+    import analyze_sot_results
+    monkeypatch.setattr(sys, "argv", [
+        "analyze_sot_results.py", "--results", str(good), str(bad),
+        "--data-root", str(tmp_path / "data")])
+    analyze_sot_results.main()
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith(("good", "bad"))]
+    assert len(lines) == 2
+    auc_good = float(lines[0].split()[2])
+    auc_bad = float(lines[1].split()[2])
+    assert auc_good > 0.95 and auc_bad < 0.2
+    assert "20.0" in lines[0]                      # ms/frame from time files
