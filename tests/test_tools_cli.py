@@ -143,3 +143,29 @@ def test_analyze_sot_results(tmp_path, monkeypatch, capsys):
     auc_bad = float(lines[1].split()[2])
     assert auc_good > 0.95 and auc_bad < 0.2
     assert "20.0" in lines[0]                      # ms/frame from time files
+
+
+def test_demo_video_frames_and_sot(tmp_path, monkeypatch):
+    """demo.py --frames: per-frame detection over a directory, and SOT
+    tracking with --init-box (the reference demo's --video-input mode)."""
+    import demo
+    rng = np.random.RandomState(3)
+    fdir = tmp_path / "frames"
+    fdir.mkdir()
+    for i in range(3):
+        arr = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+        arr[30:60, 40 + 6 * i:70 + 6 * i] = (220, 40, 40)
+        Image.fromarray(arr).save(fdir / f"{i:03d}.jpg")
+    out_det = tmp_path / "out_det"
+    monkeypatch.setattr(sys, "argv", [
+        "demo.py", "--frames", str(fdir), "--config", "tiny_test_config",
+        "--output", str(out_det), "--score-thr", "0.0"])
+    demo.main()
+    assert len(os.listdir(out_det)) == 3
+
+    out_sot = tmp_path / "out_sot"
+    monkeypatch.setattr(sys, "argv", [
+        "demo.py", "--frames", str(fdir), "--config", "tiny_test_config",
+        "--init-box", "40", "30", "70", "60", "--output", str(out_sot)])
+    demo.main()
+    assert len(os.listdir(out_sot)) == 3
