@@ -338,7 +338,8 @@ def main():
         for fn, key in (("APRESULT.json", "real_format_ap"),
                         ("VISRESULT.json", "real_format_vis_map"),
                         ("SOTRESULT.json", "real_format_sot_auc"),
-                        ("RECRESULT.json", "real_format_rec")):
+                        ("RECRESULT.json", "real_format_rec"),
+                        ("JOINTRESULT.json", "real_format_joint")):
             p = os.path.join(here, fn)
             if os.path.exists(p):
                 with open(p) as f:
