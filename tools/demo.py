@@ -101,24 +101,47 @@ def main():
     if args.checkpoint:
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
-        params = {"params": ckptr.restore(args.checkpoint,
-                                          target=params["params"])}
+        try:
+            params = {"params": ckptr.restore(args.checkpoint,
+                                              target=params["params"])}
+        except Exception:
+            # image-stage checkpoints are a SUBTREE of the all-paths tree
+            # (no template/reid branches): merge what the checkpoint has,
+            # keep the untrained branches at init
+            raw = ckptr.restore(args.checkpoint)
+            raw = raw.get("params", raw)
+
+            def merge(full, part):
+                if isinstance(full, dict) and isinstance(part, dict):
+                    return {k: (merge(v, part[k]) if k in part else v)
+                            for k, v in full.items()}
+                return part
+            params = {"params": merge(params["params"], raw)}
 
     # ---- SOT video demo: track --init-box through the frames ----
     if args.frames and args.init_box is not None:
         from uninext_tpu.engine.sot_inference import SOTDriver
         paths = sorted(glob.glob(os.path.join(args.frames, "*")))
-        imgs, hw = [], None
-        frames = []
+        imgs, hws, frames = [], [], []
         for p in paths:
             img, padded, img_mask, sizes, hw = load_frame(p, cfg)
             imgs.append(img)
+            hws.append(hw)
             frames.append(jnp.asarray(padded))
+        if len(set(hws)) != 1:
+            raise SystemExit(f"--frames requires uniform frame sizes; got "
+                             f"{sorted(set(hws))} (the SOT driver tracks "
+                             "one static-resolution stream)")
+        hw = hws[0]
+        # --init-box is given in ORIGINAL first-frame pixels; the network
+        # runs at the resized resolution
+        w0, h0 = imgs[0].size
+        sx, sy = hw[1] / w0, hw[0] / h0
+        init = np.asarray(args.init_box, np.float32) * [sx, sy, sx, sy]
         drv = SOTDriver(model, params["params"], cfg,
                         frames[0].shape[1], frames[0].shape[2])
         boxes, _ = drv.run_video(frames, jnp.asarray(img_mask),
-                                 jnp.asarray(sizes),
-                                 np.asarray(args.init_box, np.float32))
+                                 jnp.asarray(sizes), init)
         os.makedirs(args.output, exist_ok=True)
         for i, (img, b) in enumerate(zip(imgs, boxes)):
             vis, _ = draw_boxes(img, hw, [b], [1.0], [0], ["target"], 0.0)

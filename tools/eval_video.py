@@ -131,18 +131,28 @@ def run_vis(args, model, params, cfg, HW):
         print(f"[vis] video {rec['video_id']} "
               f"{len(frames) / (time.perf_counter() - t0):.1f} FPS")
         results.extend(video_output_to_ytvis(rec["video_id"], out))
+    # predictions carry contiguous-index+1 category ids
+    # (video_output_to_ytvis); map back to the dataset's ids before writing
+    # the submission (identity for official YTVIS, whose ids ARE 1..K)
+    with open(js) as f:
+        gt = json.load(f)
+    id_map = {i + 1: c["id"] for i, c in enumerate(
+        sorted(gt["categories"], key=lambda c: c["id"]))}
+    results = [{**r, "category_id": id_map.get(r["category_id"],
+                                               r["category_id"])}
+               for r in results]
     path = save_ytvis_results(results, args.output_dir)
     package_ytvis_submission(results,
                              os.path.join(args.output_dir, "submission.zip"))
     print(f"[vis] {len(results)} tracks -> {path}")
     # score locally when the json carries gt tracks (train/minival splits;
     # the official valid.json has none — server-only, as in the reference)
-    with open(js) as f:
-        gt = json.load(f)
     if any(a.get("segmentations") for a in gt.get("annotations", [])):
         from uninext_tpu.evaluation.ytvis_eval import evaluate_ytvis
         if args.max_videos:
-            keep = {r["video_id"] for r in results}
+            # restrict gt to the PROCESSED videos (not to videos with
+            # results — a total miss must stay in the recall denominator)
+            keep = {r["video_id"] for r in records[:args.max_videos]}
             gt = {**gt,
                   "videos": [v for v in gt["videos"] if v["id"] in keep],
                   "annotations": [a for a in gt["annotations"]

@@ -13,6 +13,7 @@ Workers: a thread pool keeps the host pipeline ahead of the device.
 """
 from __future__ import annotations
 
+import bisect
 import random
 import threading
 import queue
@@ -134,7 +135,6 @@ class MultiDatasetLoader:
                 cum = self.record_weights[d]
                 if cum is not None:
                     # weighted-with-replacement (reference multinomial)
-                    import bisect
                     j = bisect.bisect_left(cum, rng.random() * cum[-1])
                     yield d, self.datasets[d][0][min(j, len(cum) - 1)]
                 else:

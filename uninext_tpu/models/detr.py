@@ -190,7 +190,8 @@ def init_all_paths(model: "UninextDETR", rng: jax.Array,
     # jitted: eager flax init dispatches thousands of ops one-by-one, which
     # is pathological through a high-latency device tunnel (and slow on CPU)
     return jax.jit(lambda rngs: model.init(rngs, method=all_paths))(
-        {"params": rng, "dn": jax.random.fold_in(rng, 7)})
+        {"params": rng, "dn": jax.random.fold_in(rng, 1),
+         "droppath": jax.random.fold_in(rng, 7)})
 
 
 class UninextDETR(nn.Module):
