@@ -167,3 +167,15 @@ def test_rfs_and_class_aware_sampling():
         counts[r["annotations"][0]["category_id"]] += 1
     frac = counts[2] / 2000
     assert 0.4 < frac < 0.6, frac
+
+
+def test_recipe_record_weights_obj365_class_aware():
+    """The obj365 stage gets the ClassAwareSampler distribution; everything
+    else samples uniformly (every shipped USE_RFS flag is False)."""
+    recs = ([{"annotations": [{"category_id": 5}]}] * 9
+            + [{"annotations": [{"category_id": 6}]}])
+    datasets = [(recs, None, 2, "detection")]
+    w = registry.recipe_record_weights("obj365_pretrain", datasets)
+    assert w is not None and len(w) == 1
+    assert abs(w[0][9:].sum() - 0.5) < 1e-9       # rare cat = half the mass
+    assert registry.recipe_record_weights("image_joint", datasets) is None
