@@ -43,3 +43,29 @@ def test_detection_eval_loop(coco_dir):
     assert np.isfinite(res["AP"]) or np.isnan(res["AP"])
     if np.isfinite(res["AP"]):
         assert 0.0 <= res["AP"] <= 1.0
+
+
+def test_res_mask_eval_loop(tmp_path):
+    """RES evaluator: top-1 mask per expression -> mask P@0.5/oIoU/mIoU at
+    original resolution (runs an untrained tiny model; checks plumbing +
+    metric ranges)."""
+    from uninext_tpu.data.coco import load_refcoco_json
+    from uninext_tpu.data.mini_coco import make_mini_refcoco
+    from uninext_tpu.engine.evaluator import evaluate_res
+    from uninext_tpu.models.detr import init_all_paths
+
+    cfg = small_cfg()
+    dcfg = dataclasses.replace(cfg.data, min_size_test=64, max_size_test=96)
+    cfg = dataclasses.replace(cfg, data=dcfg)
+    paths = make_mini_refcoco(str(tmp_path), n_train=0, n_val=2, seed=1,
+                              img_size=(120, 160))
+    records = load_refcoco_json(paths["val_json"], paths["val_root"])[:3]
+    tok = BertTokenizer()
+    mapper = UniDatasetMapper(cfg.data, ["object"], tok, is_train=False,
+                              with_masks=False)
+    model = UninextDETR(cfg)
+    params = init_all_paths(model, jax.random.PRNGKey(0))["params"]
+    out = evaluate_res(model, cfg, params, records, mapper)
+    assert set(out) == {"P@0.5", "oIoU", "mIoU"}
+    for v in out.values():
+        assert 0.0 <= v <= 1.0, out

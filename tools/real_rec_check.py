@@ -60,7 +60,7 @@ def main():
     from uninext_tpu.data.loader import MultiDatasetLoader
     from uninext_tpu.data.mini_coco import make_mini_refcoco
     from uninext_tpu.data.tokenizer import BertTokenizer
-    from uninext_tpu.engine.evaluator import evaluate_refcoco
+    from uninext_tpu.engine.evaluator import evaluate_refcoco, evaluate_res
     from uninext_tpu.engine.trainer import Trainer
 
     root = args.data_root or tempfile.mkdtemp(prefix="mini_refcoco_")
@@ -92,10 +92,16 @@ def main():
                            val_recs, eval_mapper)
     res = {k: round(float(v), 4) for k, v in res.items()
            if isinstance(v, (int, float)) and np.isfinite(v)}
-    print(f"[eval] {res}")
+    print(f"[eval REC] {res}")
+    seg = evaluate_res(trainer.model, cfg, trainer.state.params,
+                       val_recs, eval_mapper)
+    seg = {k: round(float(v), 4) for k, v in seg.items()}
+    print(f"[eval RES] {seg}")
 
     payload = {
         "rec_p_at_50": res.get("P@0.5"), "rec_oiou": res.get("oIoU"),
+        "res_mask_p_at_50": seg["P@0.5"], "res_mask_miou": seg["mIoU"],
+        "res_mask_oiou": seg["oIoU"],
         "dataset": "mini-refcoco (real-format generated)",
         "n_train_expr": len(train_recs), "n_val_expr": len(val_recs),
         "steps": args.steps, "train_seconds": round(train_s, 1),

@@ -156,3 +156,72 @@ def evaluate_refcoco(model: UninextDETR, cfg: UninextConfig, params,
         x, y, bw, bh = a["bbox"]
         gts.append([x, y, x + bw, y + bh])
     return refcoco_metrics(np.stack(preds), np.array(gts, np.float32))
+
+
+def evaluate_res(model: UninextDETR, cfg: UninextConfig, params,
+                 records: Sequence[Dict], mapper: UniDatasetMapper
+                 ) -> Dict[str, float]:
+    """RES evaluation: the top-1 query's CondInst mask per expression ->
+    mask P@0.5 / oIoU / mIoU at the annotation's original resolution
+    (reference: RES branch of _derive_refcoco_results + RefCOCOeval over
+    segm; mask upsampled from stride 4, thresholded at logit 0, like
+    segmentation_postprocess)."""
+    from PIL import Image
+
+    from ..data.masks import decode_mask, polygons_to_mask
+    from ..models.detr import feature_shapes
+
+    inter_sum = union_sum = 0.0
+    ious = []
+    steps: Dict = {}
+    for rec in records:
+        s = mapper(rec)
+        Hb, Wb = s.bucket
+        if (Hb, Wb) not in steps:
+            shapes = feature_shapes(cfg.transformer.num_feature_levels,
+                                    Hb, Wb)
+
+            @jax.jit
+            def step(params, image, img_mask, sizes, tids, tmask,
+                     shapes=shapes):
+                out = model.apply({"params": params}, image, img_mask, sizes,
+                                  tids, tmask, task="grounding", train=False)
+                prob = jax.nn.sigmoid(out["pred_logits"][..., 0])
+                if "pred_boxious" in out:
+                    prob = jnp.sqrt(prob * jax.nn.sigmoid(
+                        out["pred_boxious"][..., 0]))
+                best = prob.argmax(-1)
+                hs_sel = jnp.take_along_axis(out["hs"], best[:, None, None],
+                                             axis=1)
+                ref_sel = jnp.take_along_axis(out["base_reference"],
+                                              best[:, None, None], axis=1)
+                return model.apply({"params": params}, out["memory"], shapes,
+                                   hs_sel, ref_sel, sizes,
+                                   method=UninextDETR.predict_masks)[:, 0]
+            steps[(Hb, Wb)] = step
+        logits = np.asarray(steps[(Hb, Wb)](
+            params, jnp.asarray(s.image[None]), jnp.asarray(s.img_mask[None]),
+            jnp.asarray(s.image_size[None]), jnp.asarray(s.text_ids[None]),
+            jnp.asarray(s.text_mask[None])))[0]          # (Hb/4, Wb/4)
+        h, w = s.image_size
+        oh, ow = rec["height"], rec["width"]
+        content = logits[: int(np.ceil(h / 4)), : int(np.ceil(w / 4))]
+        up = Image.fromarray(content.astype(np.float32)).resize(
+            (ow, oh), Image.BILINEAR)
+        pred = np.asarray(up) > 0
+        seg = rec["annotations"][0].get("segmentation")
+        if isinstance(seg, dict):
+            gt = decode_mask(seg) > 0
+        elif seg:
+            gt = polygons_to_mask(seg, oh, ow) > 0
+        else:
+            gt = np.zeros((oh, ow), bool)
+        inter = float(np.logical_and(pred, gt).sum())
+        union = float(np.logical_or(pred, gt).sum())
+        ious.append(inter / max(union, 1e-9))
+        inter_sum += inter
+        union_sum += union
+    ious = np.asarray(ious)
+    return {"P@0.5": float((ious > 0.5).mean()),
+            "oIoU": float(inter_sum / max(union_sum, 1e-9)),
+            "mIoU": float(ious.mean())}
