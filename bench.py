@@ -28,8 +28,27 @@ Set UNINEXT_BENCH_CONFIGS=det,instseg,rec,vis,sot to subset.
 """
 import json
 import os
+import threading
 import time
 import traceback
+
+# The axon tunnel can wedge so hard that backend init blocks forever
+# (observed 2026-08-17, docs/PERF.md); fail FAST with an honest
+# machine-readable line rather than hanging the driver.
+_backend_ok = threading.Event()
+
+
+def _watchdog(limit_s=600):
+    if not _backend_ok.wait(limit_s):
+        print(json.dumps({
+            "metric": "coco_det_r50_fps_per_chip_800px_bs1", "value": 0.0,
+            "unit": "frames/sec", "vs_baseline": 0.0,
+            "error": f"TPU backend unreachable for {limit_s}s "
+                     "(tunnel wedge — not a code failure)"}), flush=True)
+        os._exit(3)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
 
 import jax
 
@@ -300,6 +319,8 @@ def bench_sot():
 
 
 def main():
+    jax.devices()                     # force backend init under the watchdog
+    _backend_ok.set()
     want = os.environ.get("UNINEXT_BENCH_CONFIGS",
                           "det,instseg,rec,vis,sot").split(",")
     results = {}
