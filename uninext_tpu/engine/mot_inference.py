@@ -34,39 +34,64 @@ class MOTDriver:
             model, cfg, cls_token_map, H, W,
             select_thr=cfg.track.obj_score_thr, nms_thr=0.7)
 
-    def run_video(self, frames, img_masks, sizes, text_ids, text_mask,
-                  ori_size) -> List[List[Dict]]:
-        tr = self.cfg.track
-        tracker = QuasiDenseTracker(
-            init_score_thr=tr.init_score_thr,
-            obj_score_thr=tr.obj_score_thr)
-        image_size = (int(sizes[0, 0]), int(sizes[0, 1]))
-        sx = ori_size[1] / image_size[1]
-        sy = ori_size[0] / image_size[0]
-        per_frame: List[List[Dict]] = []
+    def detect_video(self, frames, img_masks, sizes, text_ids,
+                     text_mask) -> List[Dict]:
+        """Model pass only: per-frame raw detections (valid-filtered), no
+        association. Cache these to sweep tracker hyperparameters offline
+        (tools/grid_search_track.py) without re-running the model — the
+        reference's grid search (tools_bin/grid_search_bdd.py) re-runs full
+        inference per grid point."""
+        raw: List[Dict] = []
         for fi in range(len(frames)):
             o = self.step(self.params, frames[fi], img_masks, sizes,
                           text_ids, text_mask)
             o = {k: np.asarray(v) for k, v in o.items()}
             v = o["valid"]
-            keep_idx, ids = tracker.match(
-                o["boxes"][v], o["max_scores"][v], o["labels"][v],
-                o["embeds"][v], fi)
-            sel = np.flatnonzero(v)[keep_idx]
-            dets = []
-            for si, tid in zip(sel, ids):
-                if tid < 0:
-                    continue
-                box = o["boxes"][si] * [sx, sy, sx, sy]
-                rec = {"id": int(tid), "category": int(o["labels"][si]),
-                       "score": float(o["max_scores"][si]),
-                       "box_xyxy": box}
-                if self.with_masks:
-                    rec["mask"] = _mask_to_original(
-                        o["mask_logits"][si], image_size, ori_size)
-                dets.append(rec)
-            per_frame.append(dets)
-        return per_frame
+            rec = {"boxes": o["boxes"][v], "scores": o["max_scores"][v],
+                   "labels": o["labels"][v], "embeds": o["embeds"][v]}
+            if self.with_masks:
+                rec["mask_logits"] = o["mask_logits"][v]
+            raw.append(rec)
+        return raw
+
+    def run_video(self, frames, img_masks, sizes, text_ids, text_mask,
+                  ori_size) -> List[List[Dict]]:
+        raw = self.detect_video(frames, img_masks, sizes, text_ids,
+                                text_mask)
+        image_size = (int(sizes[0, 0]), int(sizes[0, 1]))
+        tr = self.cfg.track
+        return associate(raw, image_size, ori_size,
+                         init_score_thr=tr.init_score_thr,
+                         obj_score_thr=tr.obj_score_thr,
+                         with_masks=self.with_masks)
+
+
+def associate(raw_frames: List[Dict], image_size, ori_size,
+              with_masks: bool = False, **tracker_kwargs
+              ) -> List[List[Dict]]:
+    """QDTrack association over cached per-frame detections -> the
+    per-frame record format every downstream consumer (bdd_submit,
+    mot_eval) expects. Pure numpy; cheap to re-run per hyperparameter."""
+    tracker = QuasiDenseTracker(**tracker_kwargs)
+    sx = ori_size[1] / image_size[1]
+    sy = ori_size[0] / image_size[0]
+    per_frame: List[List[Dict]] = []
+    for fi, o in enumerate(raw_frames):
+        keep_idx, ids = tracker.match(
+            o["boxes"], o["scores"], o["labels"], o["embeds"], fi)
+        dets = []
+        for si, tid in zip(keep_idx, ids):
+            if tid < 0:
+                continue
+            box = o["boxes"][si] * [sx, sy, sx, sy]
+            rec = {"id": int(tid), "category": int(o["labels"][si]),
+                   "score": float(o["scores"][si]), "box_xyxy": box}
+            if with_masks:
+                rec["mask"] = _mask_to_original(
+                    o["mask_logits"][si], image_size, ori_size)
+            dets.append(rec)
+        per_frame.append(dets)
+    return per_frame
 
 
 class RVOSDriver:
