@@ -67,3 +67,31 @@ def test_refcoco_metrics():
     m = refcoco_metrics(pred, gt)
     assert abs(m["P@0.5"] - 0.5) < 1e-6
     assert 0 < m["oIoU"] < 1
+
+
+def test_refcoco_precision_sweep():
+    """Hand-computed fixture for the full P@{0.5..0.9} sweep (reference
+    coco_evaluation.py:440-445: strict > threshold on per-expression IoU).
+
+    Three expressions with per-pair IoUs 1.0 / 0.9 / 0.0 (derivations
+    inline below)."""
+    gt = np.array([[0, 0, 10, 10], [0, 0, 10, 10], [0, 0, 10, 10]],
+                  np.float32)
+    # IoUs: exact match = 1.0; [0,0,9,10] -> inter 90, union 100 -> 0.9;
+    # disjoint -> 0.0
+    pred = np.array([[0, 0, 10, 10], [0, 0, 9, 10], [50, 50, 60, 60]],
+                    np.float32)
+    m = refcoco_metrics(pred, gt)
+    # iou list = [1.0, 0.9, 0.0]: P@0.5..0.8 = 2/3, P@0.9 = 1/3 (strict >)
+    for t in (0.5, 0.6, 0.7, 0.8):
+        assert abs(m[f"P@{t}"] - 2 / 3) < 1e-6, (t, m)
+    assert abs(m["P@0.9"] - 1 / 3) < 1e-6
+    assert abs(m["mIoU"] - (1.0 + 0.9 + 0.0) / 3) < 1e-6
+    # oIoU pooled = sum(inter) / sum(area_p + area_g - inter)
+    #             = (100+90+0) / (100 + 100 + 200) = 190/400
+    assert abs(m["oIoU"] - 190 / 400) < 1e-6
+
+    from uninext_tpu.evaluation.coco_eval import refcoco_iou_metrics
+    mm = refcoco_iou_metrics(np.array([1.0, 0.9, 0.0]), 190.0, 400.0)
+    for k in m:
+        assert abs(mm[k] - m[k]) < 1e-6, (k, mm[k], m[k])

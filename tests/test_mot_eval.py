@@ -1,6 +1,6 @@
 import numpy as np
 
-from uninext_tpu.evaluation.mot_eval import evaluate_mot
+from uninext_tpu.evaluation.mot_eval import evaluate_mot, pool_mot_metrics
 
 
 def _frames(tracks, T):
@@ -44,3 +44,21 @@ def test_fp_fn_counted():
                     2: [(t, far) for t in range(4)]}, 4)
     res = evaluate_mot(gt, pred)
     assert res["FN"] == 2 and res["FP"] == 4
+
+
+def test_pooled_metrics_weight_by_length():
+    """A long perfect sequence + a short all-miss one: pooled MOTA must be
+    GT-count-weighted (not the 0.5 a per-sequence mean would give)."""
+    box = [10, 10, 50, 50]
+    far = [200, 200, 240, 240]
+    long_gt = _frames({1: [(t, box) for t in range(9)]}, 9)
+    m_long = evaluate_mot(long_gt, long_gt)
+    short_gt = _frames({1: [(0, box)]}, 1)
+    short_pred = _frames({1: [(0, far)]}, 1)
+    m_short = evaluate_mot(short_gt, short_pred)
+    pooled = pool_mot_metrics([m_long, m_short])
+    # 10 gt total: 1 FN + 1 FP -> MOTA = 1 - 2/10
+    assert abs(pooled["MOTA"] - 0.8) < 1e-9
+    assert pooled["n_gt"] == 10
+    # IDF1 pooled: idtp 9; totals = (10 gt + 10 pred) -> 0.9
+    assert abs(pooled["IDF1"] - 0.9) < 1e-9

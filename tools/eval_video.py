@@ -44,6 +44,11 @@ def parse_args():
     p.add_argument("--bucket", type=int, nargs=2, default=None,
                    help="static (H, W) network bucket; default from preset")
     p.add_argument("--max-videos", type=int, default=0)
+    p.add_argument("--dump-dets", metavar="DIR",
+                   help="mot only: also cache per-sequence raw detections "
+                        "(+gt when a BDD labels dir sits next to the "
+                        "frames) as DIR/<vid>.npz for "
+                        "tools/grid_search_track.py")
     return p.parse_args()
 
 
@@ -261,6 +266,32 @@ def run_vos(args, model, params, cfg, HW):
         print(json.dumps({"J&F": mean_jf, "per_video": js}, indent=1))
 
 
+def _load_bdd_gt(frames_root, vid, fns):
+    """Per-frame gt {ids, boxes} from a BDD scalabel labels json when one
+    sits next to the frame dirs (<root>/../labels/<vid>.json — the official
+    box_track_20 layout); None otherwise."""
+    lab = os.path.join(os.path.dirname(frames_root.rstrip("/")),
+                       "labels", f"{vid}.json")
+    if not os.path.exists(lab):
+        return None
+    with open(lab) as f:
+        recs = json.load(f)
+    by_name = {r["name"]: r for r in recs}
+    gt = []
+    for fn in fns:
+        r = by_name.get(fn, {})
+        ids, boxes = [], []
+        for l in r.get("labels", []):
+            b = l.get("box2d")
+            if not b:
+                continue
+            ids.append(int(l["id"]))
+            boxes.append([b["x1"], b["y1"], b["x2"], b["y2"]])
+        gt.append({"ids": np.array(ids, np.int64),
+                   "boxes": np.array(boxes, np.float32).reshape(-1, 4)})
+    return gt
+
+
 def run_mot(args, model, params, cfg, HW):
     import jax.numpy as jnp
     from uninext_tpu.data.prompts import create_label_token_map
@@ -283,9 +314,22 @@ def run_mot(args, model, params, cfg, HW):
         fns = sorted(os.listdir(os.path.join(root, vid)))
         frames, img_masks, sizes, _, ori = frames_of(
             [os.path.join(root, vid, f) for f in fns], H, W)
-        per_frame = drv.run_video(frames, img_masks, sizes,
-                                  jnp.asarray(tids[None]),
-                                  jnp.asarray(tmask[None]), ori_size=ori)
+        raw = drv.detect_video(frames, img_masks, sizes,
+                               jnp.asarray(tids[None]),
+                               jnp.asarray(tmask[None]))
+        image_size = (int(sizes[0, 0]), int(sizes[0, 1]))
+        if args.dump_dets:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from grid_search_track import save_detections
+            gt = _load_bdd_gt(root, vid, fns)
+            save_detections(os.path.join(args.dump_dets, f"{vid}.npz"),
+                            raw, image_size, ori, gt_frames=gt,
+                            select_thr=drv.select_thr)
+        from uninext_tpu.engine.mot_inference import associate
+        tr = cfg.track
+        per_frame = associate(raw, image_size, ori,
+                              init_score_thr=tr.init_score_thr,
+                              obj_score_thr=tr.obj_score_thr)
         all_frames.extend(box_track_to_bdd(per_frame, fns, vid))
         print(f"[mot] {vid}: {sum(len(f['labels']) for f in all_frames)} dets")
     path = save_bdd_json(all_frames,

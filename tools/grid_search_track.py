@@ -9,10 +9,15 @@ over per-sequence detection caches and scores each combo with CLEAR-MOT —
 seconds instead of GPU-hours for the same search.
 
 Cache format (one .npz per sequence, written by `save_detections` or
-`tools/eval_video.py --task mot --dump-dets`):
+`tools/eval_video.py --task mot --dump-dets DIR`):
   n_frames, image_size (h, w), ori_size (h, w)
+  select_thr ()                              # floor the dets were cached at
   boxes_{i} (N,4 xyxy), scores_{i} (N,), labels_{i} (N,), embeds_{i} (N,E)
   gt_ids_{i} (G,), gt_boxes_{i} (G,4)        # ground truth, original coords
+
+Grid points with obj_thr < the cached select_thr are rejected: detections
+below the dump floor no longer exist in the cache, so those points would
+silently evaluate the identical detection set.
 
 Usage:
   python tools/grid_search_track.py out/dets/*.npz \
@@ -27,15 +32,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 from uninext_tpu.engine.mot_inference import associate
-from uninext_tpu.evaluation.mot_eval import evaluate_mot
+from uninext_tpu.evaluation.mot_eval import evaluate_mot, pool_mot_metrics
 
 
 def save_detections(path, raw_frames, image_size, ori_size,
-                    gt_frames=None):
-    """Write a sequence's detection cache (+ optional gt) as one npz."""
+                    gt_frames=None, select_thr=0.0):
+    """Write a sequence's detection cache (+ optional gt) as one npz.
+    select_thr records the score floor the detections were filtered at."""
     arrs = {"n_frames": np.array(len(raw_frames)),
             "image_size": np.asarray(image_size),
-            "ori_size": np.asarray(ori_size)}
+            "ori_size": np.asarray(ori_size),
+            "select_thr": np.array(float(select_thr))}
     for i, o in enumerate(raw_frames):
         for k in ("boxes", "scores", "labels", "embeds"):
             arrs[f"{k}_{i}"] = np.asarray(o[k])
@@ -56,7 +63,8 @@ def load_detections(path):
     if f"gt_ids_0" in z:
         gt = [{"ids": z[f"gt_ids_{i}"], "boxes": z[f"gt_boxes_{i}"]}
               for i in range(n)]
-    return raw, tuple(z["image_size"]), tuple(z["ori_size"]), gt
+    select_thr = float(z["select_thr"]) if "select_thr" in z else 0.0
+    return raw, tuple(z["image_size"]), tuple(z["ori_size"]), gt, select_thr
 
 
 def _parse_range(spec):
@@ -68,16 +76,27 @@ def _parse_range(spec):
     return list(np.round(np.arange(lo, hi, step), 6))
 
 
-def run_grid(seqs, init_thrs, obj_thrs, metric="MOTA"):
+def run_grid(seqs, init_thrs, obj_thrs, metric="MOTA",
+             cache_select_thr=0.0):
     """seqs: list of (raw_frames, image_size, ori_size, gt_frames).
     Returns (results list sorted best-first, best entry). Combos with
-    init <= obj are skipped (same constraint as the reference sweep)."""
+    init <= obj are skipped (same constraint as the reference sweep);
+    combos with obj < cache_select_thr raise — those detections were
+    filtered out at dump time, so the sweep would silently re-score the
+    identical detection set. Metrics are POOLED CLEAR-MOT counts across
+    sequences (as eval_bdd / official scorers do), not per-sequence means."""
+    bad = [o for o in obj_thrs if o < cache_select_thr - 1e-9]
+    if bad:
+        raise ValueError(
+            f"obj thresholds {bad} are below the caches' select_thr "
+            f"{cache_select_thr}: re-dump with a lower floor "
+            f"(cfg.track.inference_select_thr) to sweep them")
     results = []
     for init_thr in init_thrs:
         for obj_thr in obj_thrs:
             if init_thr <= obj_thr:
                 continue
-            agg = {"MOTA": [], "IDF1": [], "IDS": 0, "FP": 0, "FN": 0}
+            per_seq = []
             for raw, image_size, ori_size, gt in seqs:
                 pred = associate(raw, image_size, ori_size,
                                  init_score_thr=init_thr,
@@ -87,15 +106,11 @@ def run_grid(seqs, init_thrs, obj_thrs, metric="MOTA"):
                                     [d["box_xyxy"] for d in dets]
                                 ).reshape(-1, 4)}
                                for dets in pred]
-                m = evaluate_mot(gt, pred_frames)
-                agg["MOTA"].append(m["MOTA"])
-                agg["IDF1"].append(m["IDF1"])
-                for k in ("IDS", "FP", "FN"):
-                    agg[k] += m[k]
+                per_seq.append(evaluate_mot(gt, pred_frames))
+            pooled = pool_mot_metrics(per_seq)
             entry = {"init_score_thr": init_thr, "obj_score_thr": obj_thr,
-                     "MOTA": float(np.mean(agg["MOTA"])),
-                     "IDF1": float(np.mean(agg["IDF1"])),
-                     "IDS": agg["IDS"], "FP": agg["FP"], "FN": agg["FN"]}
+                     **{k: pooled[k] for k in
+                        ("MOTA", "IDF1", "IDS", "FP", "FN")}}
             results.append(entry)
     results.sort(key=lambda e: -e[metric])
     return results, (results[0] if results else None)
@@ -112,14 +127,17 @@ def main():
     args = ap.parse_args()
 
     seqs = []
+    cache_thr = 0.0
     for path in args.caches:
-        raw, image_size, ori_size, gt = load_detections(path)
+        raw, image_size, ori_size, gt, sel = load_detections(path)
         if gt is None:
             raise SystemExit(f"{path} has no ground truth; dump with gt")
+        cache_thr = max(cache_thr, sel)
         seqs.append((raw, image_size, ori_size, gt))
 
     results, best = run_grid(seqs, _parse_range(args.init),
-                             _parse_range(args.obj), args.metric)
+                             _parse_range(args.obj), args.metric,
+                             cache_select_thr=cache_thr)
     print(f"{'init':>6} {'obj':>6} {'MOTA':>8} {'IDF1':>8} "
           f"{'IDS':>5} {'FP':>5} {'FN':>5}")
     for e in results:

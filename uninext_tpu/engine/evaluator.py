@@ -221,7 +221,5 @@ def evaluate_res(model: UninextDETR, cfg: UninextConfig, params,
         ious.append(inter / max(union, 1e-9))
         inter_sum += inter
         union_sum += union
-    ious = np.asarray(ious)
-    return {"P@0.5": float((ious > 0.5).mean()),
-            "oIoU": float(inter_sum / max(union_sum, 1e-9)),
-            "mIoU": float(ious.mean())}
+    from ..evaluation.coco_eval import refcoco_iou_metrics
+    return refcoco_iou_metrics(np.asarray(ious), inter_sum, union_sum)

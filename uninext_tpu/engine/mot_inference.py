@@ -30,17 +30,25 @@ class MOTDriver:
         self.cfg = cfg
         self.params = params
         self.with_masks = with_masks
+        # Cache detections at a LOW floor independent of obj_score_thr: the
+        # tracker applies init/obj thresholds during association, so keeping
+        # the floor below them makes cached detections reusable for
+        # hyperparameter sweeps (grid points with obj_thr < floor would
+        # otherwise silently score the identical detection set).
+        self.select_thr = min(cfg.track.inference_select_thr,
+                              cfg.track.obj_score_thr)
         self.step = make_vis_frame_step(
             model, cfg, cls_token_map, H, W,
-            select_thr=cfg.track.obj_score_thr, nms_thr=0.7)
+            select_thr=self.select_thr, nms_thr=0.7)
 
     def detect_video(self, frames, img_masks, sizes, text_ids,
                      text_mask) -> List[Dict]:
-        """Model pass only: per-frame raw detections (valid-filtered), no
-        association. Cache these to sweep tracker hyperparameters offline
-        (tools/grid_search_track.py) without re-running the model — the
-        reference's grid search (tools_bin/grid_search_bdd.py) re-runs full
-        inference per grid point."""
+        """Model pass only: per-frame raw detections (valid-filtered at
+        self.select_thr), no association. Cache these to sweep tracker
+        hyperparameters offline (tools/grid_search_track.py) without
+        re-running the model — the reference's grid search
+        (tools_bin/grid_search_bdd.py) re-runs full inference per grid
+        point."""
         raw: List[Dict] = []
         for fi in range(len(frames)):
             o = self.step(self.params, frames[fi], img_masks, sizes,

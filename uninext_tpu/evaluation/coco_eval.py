@@ -159,11 +159,17 @@ class COCOEvaluator:
         }
 
 
+PRECISION_THRS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
 def refcoco_metrics(pred_boxes: np.ndarray, gt_boxes: np.ndarray
                     ) -> Dict[str, float]:
-    """REC metrics: Precision@0.5 and overall IoU over top-1 predictions.
+    """REC metrics: Precision@{0.5..0.9}, oIoU, mIoU over top-1 predictions.
 
-    Parity: _derive_refcoco_results (coco_evaluation.py:407)."""
+    Parity: _derive_refcoco_results (coco_evaluation.py:407-445) — the
+    reference reports P@{0.5,0.6,0.7,0.8,0.9} for boxes and oIoU/mIoU for
+    masks; we report the full sweep for both modalities (strict `>` on the
+    threshold, as the reference does)."""
     ious = np.array([box_iou_xyxy(pred_boxes[i:i + 1], gt_boxes[i:i + 1])[0, 0]
                      for i in range(len(gt_boxes))])
     lt = np.maximum(pred_boxes[:, :2], gt_boxes[:, :2])
@@ -174,6 +180,20 @@ def refcoco_metrics(pred_boxes: np.ndarray, gt_boxes: np.ndarray
               (pred_boxes[:, 3] - pred_boxes[:, 1])).sum()
     area_g = ((gt_boxes[:, 2] - gt_boxes[:, 0]) *
               (gt_boxes[:, 3] - gt_boxes[:, 1])).sum()
-    return {"P@0.5": float((ious > 0.5).mean()),
-            "oIoU": float(inter / max(area_p + area_g - inter, 1e-9)),
-            "mIoU": float(ious.mean())}
+    out = {f"P@{t}": float((ious > t).mean()) for t in PRECISION_THRS}
+    out["oIoU"] = float(inter / max(area_p + area_g - inter, 1e-9))
+    out["mIoU"] = float(ious.mean())
+    return out
+
+
+def refcoco_iou_metrics(ious: np.ndarray, inter_sum: float,
+                        union_sum: float) -> Dict[str, float]:
+    """Shared RES/REC summary from accumulated per-expression IoUs +
+    pooled intersection/union areas: P@{0.5..0.9} + oIoU + mIoU
+    (refcocoeval.py accumulates `iou_list`, `total_intersection_area`,
+    `total_union_area`; coco_evaluation.py:440-446 derives the numbers)."""
+    ious = np.asarray(ious, np.float64)
+    out = {f"P@{t}": float((ious > t).mean()) for t in PRECISION_THRS}
+    out["oIoU"] = float(inter_sum / max(union_sum, 1e-9))
+    out["mIoU"] = float(ious.mean())
+    return out

@@ -90,5 +90,24 @@ def evaluate_mot(gt_frames: List[Dict], pred_frames: List[Dict],
     total_gt = sum(gt_counts.values())
     total_pr = sum(pr_counts.values())
     idf1 = 2 * idtp / max(total_gt + total_pr, 1)
+    # n_gt / IDTP / ID_total let callers POOL metrics across sequences
+    # (the official scorers pool counts, not per-sequence means); per-sequence
+    # id spaces are disjoint, so summing IDTP composes into the pooled
+    # optimal bijection exactly.
     return {"MOTA": float(mota), "IDF1": float(idf1), "IDS": int(ids_sw),
-            "FP": int(fp), "FN": int(fn)}
+            "FP": int(fp), "FN": int(fn), "n_gt": int(n_gt),
+            "IDTP": float(idtp), "ID_total": int(total_gt + total_pr)}
+
+
+def pool_mot_metrics(per_seq: List[Dict]) -> Dict[str, float]:
+    """Pooled CLEAR-MOT over sequences from evaluate_mot outputs: sums the
+    error counts and recomputes MOTA/IDF1 on the totals (matches how
+    eval_bdd / the official scorers aggregate — short sequences no longer
+    get equal weight to long ones)."""
+    tot = {k: sum(m[k] for m in per_seq)
+           for k in ("IDS", "FP", "FN", "n_gt", "IDTP", "ID_total")}
+    mota = 1.0 - (tot["FP"] + tot["FN"] + tot["IDS"]) / max(tot["n_gt"], 1)
+    idf1 = 2 * tot["IDTP"] / max(tot["ID_total"], 1)
+    return {"MOTA": float(mota), "IDF1": float(idf1), "IDS": int(tot["IDS"]),
+            "FP": int(tot["FP"]), "FN": int(tot["FN"]),
+            "n_gt": int(tot["n_gt"])}
