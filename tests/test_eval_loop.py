@@ -66,6 +66,8 @@ def test_res_mask_eval_loop(tmp_path):
     model = UninextDETR(cfg)
     params = init_all_paths(model, jax.random.PRNGKey(0))["params"]
     out = evaluate_res(model, cfg, params, records, mapper)
-    assert set(out) == {"P@0.5", "oIoU", "mIoU"}
+    # full reference precision sweep (coco_evaluation.py:407)
+    assert set(out) == {"P@0.5", "P@0.6", "P@0.7", "P@0.8", "P@0.9",
+                        "oIoU", "mIoU"}
     for v in out.values():
         assert 0.0 <= v <= 1.0, out

@@ -197,6 +197,12 @@ class DataConfig:
     # multi-scale shortest-edge buckets at train; one bucket per compiled shape
     min_size_train: Tuple[int, ...] = (480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800)
     max_size_train: int = 1333
+    # INPUT.CROP (image_joint_r50.yaml:50-53 / video_joint_r50.yaml:122-125):
+    # 50% of train samples go through [pre-resize ->] RandomCrop -> resize.
+    # Off in the base dataclass; the flagship presets below enable it.
+    crop_enabled: bool = False
+    crop_type: str = "absolute_range"
+    crop_size: Tuple[int, int] = (384, 600)
     min_size_test: int = 800
     max_size_test: int = 1333
     sampling_frame_num: int = 2
@@ -263,9 +269,12 @@ class UninextConfig:
 def image_joint_r50() -> UninextConfig:
     """Stage-2 flagship: R50, 900 queries, DINO two-stage, OTA, IoU branch.
 
-    Mirrors reference configs/image_joint_r50.yaml.
+    Mirrors reference configs/image_joint_r50.yaml (incl. INPUT.CROP
+    ENABLED absolute_range (384, 600), yaml:50-53).
     """
-    return UninextConfig()
+    base = UninextConfig()
+    return dataclasses.replace(
+        base, data=dataclasses.replace(base.data, crop_enabled=True))
 
 
 def video_joint_r50() -> UninextConfig:
@@ -308,7 +317,8 @@ def tiny_test_config() -> UninextConfig:
             d_model=64, nheads=4, dim_feedforward=128, enc_layers=2, dec_layers=2,
             num_vl_layers=1, vl_hidden_dim=64, num_queries=60, dn_number=10),
         mask_head=MaskHeadConfig(max_insts=20),
-        data=DataConfig(max_insts=20, max_text_len=32),
+        # crop off in the tiny config: unit tests pin deterministic geometry
+        data=DataConfig(max_insts=20, max_text_len=32, crop_enabled=False),
         compute_dtype="float32",
     )
 

@@ -94,6 +94,79 @@ def resize_shortest_edge(h: int, w: int, short: int, max_size: int
     return int(round(h * scale)), int(round(w * scale))
 
 
+_ORDINALS = ("first", "second", "third", "fourth", "fifth", "sixth",
+             "seventh", "eighth", "ninth", "tenth")
+
+
+def has_ordinal_num(expressions) -> bool:
+    """Reference coco_dataset_mapper_uni.py:252-262 (substring match): crop is
+    disabled for expressions like "second dog from the left" whose meaning
+    depends on objects a crop could remove."""
+    if not expressions:
+        return False
+    if isinstance(expressions, str):
+        expressions = [expressions]
+    return any(o in e.lower() for e in expressions for o in _ORDINALS)
+
+
+def sample_crop_size(h: int, w: int, crop_type: str,
+                     crop_size: Tuple[float, float], rng: random.Random
+                     ) -> Tuple[int, int]:
+    """detectron2 RandomCrop.get_crop_size (augmentation_impl.py:390-414)."""
+    if crop_type == "relative":
+        return int(h * crop_size[0] + 0.5), int(w * crop_size[1] + 0.5)
+    if crop_type == "relative_range":
+        ch = crop_size[0] + rng.random() * (1 - crop_size[0])
+        cw = crop_size[1] + rng.random() * (1 - crop_size[1])
+        return int(h * ch + 0.5), int(w * cw + 0.5)
+    if crop_type == "absolute":
+        return min(int(crop_size[0]), h), min(int(crop_size[1]), w)
+    if crop_type == "absolute_range":
+        lo, hi = int(crop_size[0]), int(crop_size[1])
+        assert lo <= hi
+        ch = rng.randint(min(h, lo), min(h, hi))
+        cw = rng.randint(min(w, lo), min(w, hi))
+        return ch, cw
+    raise ValueError(f"unknown crop type {crop_type}")
+
+
+@dataclass
+class SampleGeometry:
+    """Full geometric transform original -> final (h, w) valid region:
+    pre-scale s1, crop window (in s1 coords), post-scale s2, hflip."""
+    s1x: float = 1.0
+    s1y: float = 1.0
+    cx0: float = 0.0
+    cy0: float = 0.0
+    cw: float = float("inf")
+    ch: float = float("inf")
+    s2x: float = 1.0
+    s2y: float = 1.0
+    flip: bool = False
+    h: int = 0
+    w: int = 0
+
+    def apply_box(self, x0, y0, x1, y1):
+        """XYXY abs original coords -> XYXY final coords, clipped to the crop
+        window (reference: CropTransform.apply_box + clip)."""
+        x0 = (min(max(x0 * self.s1x, self.cx0), self.cx0 + self.cw) - self.cx0) * self.s2x
+        x1 = (min(max(x1 * self.s1x, self.cx0), self.cx0 + self.cw) - self.cx0) * self.s2x
+        y0 = (min(max(y0 * self.s1y, self.cy0), self.cy0 + self.ch) - self.cy0) * self.s2y
+        y1 = (min(max(y1 * self.s1y, self.cy0), self.cy0 + self.ch) - self.cy0) * self.s2y
+        if self.flip:
+            x0, x1 = self.w - x1, self.w - x0
+        return x0, y0, x1, y1
+
+    def apply_points(self, pts: np.ndarray) -> np.ndarray:
+        """(N, 2) polygon vertices, NOT clipped — rasterization at (h, w)
+        clips out-of-crop geometry exactly."""
+        x = (pts[:, 0] * self.s1x - self.cx0) * self.s2x
+        y = (pts[:, 1] * self.s1y - self.cy0) * self.s2y
+        if self.flip:
+            x = self.w - x
+        return np.stack([x, y], 1)
+
+
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -122,7 +195,8 @@ class UniDatasetMapper:
                  is_train: bool = True, with_masks: bool = True,
                  max_classes_per_prompt: int = 80,
                  lsj: bool = False, lsj_size: int = 1024,
-                 lsj_min_scale: float = 0.1, lsj_max_scale: float = 2.0):
+                 lsj_min_scale: float = 0.1, lsj_max_scale: float = 2.0,
+                 crop_raw: bool = False):
         self.cfg = cfg
         self.categories = list(categories)
         self.tok = tokenizer or BertTokenizer()
@@ -134,31 +208,60 @@ class UniDatasetMapper:
         self.lsj = lsj
         self.lsj_size = lsj_size
         self.lsj_scale = (lsj_min_scale, lsj_max_scale)
+        # crop_raw: video pipeline crops at raw resolution (reference
+        # augmentation.py:117 puts RandomCrop before resize); image pipeline
+        # pre-resizes shortest edge to choice(400,500,600) first
+        # (coco_dataset_mapper_uni.py:118-123).
+        self.crop_raw = crop_raw
 
     # -- geometry ------------------------------------------------------
-    def _load_and_resize(self, record: Dict, rng: random.Random):
+    def _load_and_resize(self, record: Dict, rng: random.Random,
+                         disable_crop: bool = False):
         img = Image.open(record["file_name"]).convert("RGB")
         w0, h0 = img.size
+        g = SampleGeometry()
         if self.lsj and self.is_train:
             scale = rng.uniform(*self.lsj_scale)
             s = min(self.lsj_size / h0, self.lsj_size / w0) * scale
             h = min(int(round(h0 * s)), self.lsj_size)
             w = min(int(round(w0 * s)), self.lsj_size)
         elif self.is_train:
+            # 50/50 crop-vs-plain pipeline, reference transform_img
+            # (coco_dataset_mapper_uni.py:175-184)
+            do_crop = (self.cfg.crop_enabled and not disable_crop
+                       and rng.random() < 0.5)
+            ph, pw = h0, w0
+            if do_crop:
+                if not self.crop_raw:
+                    short = rng.choice((400, 500, 600))
+                    ph, pw = resize_shortest_edge(h0, w0, short, 10 ** 9)
+                    img = img.resize((pw, ph), Image.BILINEAR)
+                    g.s1x, g.s1y = pw / w0, ph / h0
+                ch, cw = sample_crop_size(ph, pw, self.cfg.crop_type,
+                                          self.cfg.crop_size, rng)
+                cy0 = rng.randint(0, ph - ch)
+                cx0 = rng.randint(0, pw - cw)
+                img = img.crop((cx0, cy0, cx0 + cw, cy0 + ch))
+                g.cx0, g.cy0, g.cw, g.ch = float(cx0), float(cy0), float(cw), float(ch)
+                ph, pw = ch, cw
             short = rng.choice(self.cfg.min_size_train)
             max_size = self.cfg.max_size_train
-            h, w = resize_shortest_edge(h0, w0, short, max_size)
+            h, w = resize_shortest_edge(ph, pw, short, max_size)
+            g.s2x, g.s2y = w / pw, h / ph
         else:
             short = self.cfg.min_size_test
             max_size = self.cfg.max_size_test
             h, w = resize_shortest_edge(h0, w0, short, max_size)
+        if self.lsj and self.is_train or not self.is_train:
+            g.s2x, g.s2y = w / w0, h / h0
         img = img.resize((w, h), Image.BILINEAR)
-        flip = self.is_train and rng.random() < 0.5
-        if flip:
+        g.flip = self.is_train and rng.random() < 0.5
+        if g.flip:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        g.h, g.w = h, w
         arr = np.asarray(img, np.float32)
         arr = (arr - np.array(self.cfg.pixel_mean)) / np.array(self.cfg.pixel_std)
-        return arr.astype(np.float32), (h0, w0), (h, w), flip
+        return arr.astype(np.float32), (h0, w0), g
 
     def _bucket(self, h: int, w: int) -> Tuple[int, int]:
         if self.lsj and self.is_train:
@@ -171,10 +274,12 @@ class UniDatasetMapper:
                  ) -> MappedSample:
         rng = rng or random.Random()
         task = record.get("task", "detection")
-        image, (h0, w0), (h, w), flip = self._load_and_resize(record, rng)
+        # ordinal expressions disable crop (reference :281-283)
+        disable_crop = has_ordinal_num(record.get("expressions"))
+        image, (h0, w0), g = self._load_and_resize(record, rng, disable_crop)
+        h, w, flip = g.h, g.w, g.flip
         G = self.cfg.max_insts
         T = self.cfg.max_text_len
-        sx, sy = w / w0, h / h0
 
         annos = record.get("annotations", [])[:G]
         boxes = np.zeros((G, 4), np.float32)
@@ -183,12 +288,13 @@ class UniDatasetMapper:
         polys = []
         for i, a in enumerate(annos):
             x, y, bw, bh = a["bbox"]
-            x0, y0, x1, y1 = x * sx, y * sy, (x + bw) * sx, (y + bh) * sy
-            if flip:
-                x0, x1 = w - x1, w - x0
+            x0, y0, x1, y1 = g.apply_box(x, y, x + bw, y + bh)
             cx, cy = (x0 + x1) / 2 / w, (y0 + y1) / 2 / h
             boxes[i] = (cx, cy, (x1 - x0) / w, (y1 - y0) / h)
-            valid[i] = True
+            # instances cropped away (or degenerate) are filtered exactly like
+            # d2 filter_empty_instances; slot POSITION is kept so video
+            # (key, ref) pairs stay aligned
+            valid[i] = (x1 - x0) > 1e-5 and (y1 - y0) > 1e-5
             labels[i] = a.get("category_id", 0)
             polys.append(a.get("segmentation"))
 
@@ -205,7 +311,11 @@ class UniDatasetMapper:
             pm = np.zeros((G, T), bool)
             pm[valid, 0] = True          # single pooled-token target
         else:
-            pos_labels = labels[valid].tolist()
+            # prompt classes sampled from ALL annotated labels (not just
+            # crop-surviving ones) so a shared-seed video pair always builds
+            # the identical prompt even when validity differs per frame; a
+            # cropped-out class merely stays in the prompt as a negative
+            pos_labels = labels[:len(annos)].tolist()
             if self.is_train:
                 keep = sample_classes_for_training(
                     pos_labels, len(self.categories), rng, self.max_classes)
@@ -215,11 +325,12 @@ class UniDatasetMapper:
                 [self.categories[c] for c in keep])
             label_to_slot = {c: i for i, c in enumerate(keep)}
             spans_per_obj = [[spans[label_to_slot[int(l)]]]
-                             for l in labels[valid]]
-            text_ids, text_mask, pm_valid = tokenize_with_positive_map(
+                             for l in labels[:len(annos)]]
+            text_ids, text_mask, pm_all = tokenize_with_positive_map(
                 text, spans_per_obj, self.tok, T)
             pm = np.zeros((G, T), bool)
-            pm[:pm_valid.shape[0]] = pm_valid
+            pm[:pm_all.shape[0]] = pm_all
+            pm[~valid] = False
 
         # pad image to bucket
         Hb, Wb = self._bucket(h, w)
@@ -235,20 +346,26 @@ class UniDatasetMapper:
             mh, mw = Hb // stride, Wb // stride
             gt_masks = np.zeros((G, mh, mw), np.float32)
             for i, seg in enumerate(polys):
-                if seg is None:
+                if seg is None or not valid[i]:
                     continue
                 if isinstance(seg, dict):
                     m = mask_util.decode_mask(seg)
+                    if np.isfinite(g.cw):     # crop window in original coords
+                        ox0 = int(round(g.cx0 / g.s1x))
+                        oy0 = int(round(g.cy0 / g.s1y))
+                        ow = max(1, int(round(g.cw / g.s1x)))
+                        oh = max(1, int(round(g.ch / g.s1y)))
+                        m = m[oy0:oy0 + oh, ox0:ox0 + ow]
                     m = np.asarray(Image.fromarray(m * 255).resize(
                         (w, h), Image.BILINEAR)) > 127
-                else:
-                    scaled = [np.asarray(p, np.float64).reshape(-1, 2)
-                              * [sx, sy] for p in seg if len(p) >= 6]
                     if flip:
-                        scaled = [np.stack([w - p[:, 0], p[:, 1]], 1)
-                                  for p in scaled]
+                        m = m[:, ::-1]
+                else:
+                    pts = [g.apply_points(np.asarray(p, np.float64)
+                                          .reshape(-1, 2))
+                           for p in seg if len(p) >= 6]
                     m = mask_util.polygons_to_mask(
-                        [p.ravel().tolist() for p in scaled], h, w)
+                        [p.ravel().tolist() for p in pts], h, w)
                 full = np.zeros((Hb, Wb), np.uint8)
                 full[:h, :w] = m
                 # stride-4 sampling with the reference's start offset

@@ -71,8 +71,14 @@ class VideoPairMapper:
                  sampling_frame_range: int = 10):
         self.cfg = cfg
         self.range = sampling_frame_range
+        # crop_raw: the video pipeline applies RandomCrop at raw resolution
+        # before resize (reference augmentation.py:112-121). The shared-seed
+        # mechanism below makes the crop-vs-nocrop choice AND the crop window
+        # clip-consistent; the reference re-samples the window per frame
+        # (T.RandomCrop in an AugmentationList) — a documented divergence
+        # that strictly helps track-slot alignment.
         self.base = UniDatasetMapper(cfg, categories, tokenizer,
-                                     is_train, with_masks)
+                                     is_train, with_masks, crop_raw=True)
 
     def __call__(self, record: Dict, rng: Optional[random.Random] = None
                  ) -> Tuple[MappedSample, MappedSample]:
