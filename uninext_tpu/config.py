@@ -100,6 +100,11 @@ class TransformerConfig:
     decouple_tgt: bool = True
     still_tgt_for_both: bool = True
     use_early_fusion: bool = True
+    # MODEL.USE_ADDITIONAL_BERT (reference config.py:75): one extra
+    # (clamped) BERT layer on the language stream after EVERY encoder layer
+    # (deformable_transformer_dino.py:69-76,326: vl -> deform -> lang).
+    # Default off, matching the reference flagship configs.
+    use_additional_bert: bool = False
     use_additional_bert: bool = False
     still_cls_for_encoder: bool = True
     use_iou_branch: bool = True

@@ -186,12 +186,23 @@ class UninextTransformer(nn.Module):
         spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
         level_embed = self.param("level_embed", nn.initializers.normal(1.0),
                                  (c.num_feature_levels, c.d_model))
+        # use_additional_bert threads lang_hidden through every layer, which
+        # the scan body doesn't carry — take the unrolled path there
         use_scan = (self.scan_encoder and c.num_vl_layers <= 1
-                    and c.enc_layers > 1)
+                    and c.enc_layers > 1 and not c.use_additional_bert)
         vl_layers = [
             VLFuse(c, self.lcfg, dtype=self.dtype, name=f"vl_layer_{i}")
             for i in range(min(c.num_vl_layers, c.enc_layers))
         ] if c.use_early_fusion else []
+        lang_layers = []
+        if c.use_additional_bert:
+            # reference deformable_transformer.py:309-317: per encoder layer,
+            # vl_layer -> deform layer -> lang_layer (a full clamped
+            # bert-base layer on the 768-d language stream)
+            from .bert import BertLayer
+            lang_layers = [BertLayer(self.lcfg, dtype=self.dtype,
+                                     name=f"lang_layer_{i}")
+                           for i in range(c.enc_layers)]
 
         src_flatten = jnp.concatenate(
             [s.reshape(B, -1, c.d_model) for s in srcs], 1)
@@ -228,6 +239,8 @@ class UninextTransformer(nn.Module):
         else:
             enc_cls = (nn.remat(EncoderLayer, static_argnums=(4,))
                        if self.remat else EncoderLayer)
+            lang_bias = jnp.where(lang_mask[:, None, None, :] > 0,
+                                  0.0, jnp.asarray(-1e9, self.dtype))
             for i in range(c.enc_layers):
                 if i < len(vl_layers):
                     visual, lang_hidden = vl_layers[i](
@@ -236,6 +249,9 @@ class UninextTransformer(nn.Module):
                                  name=f"encoder_layer_{i}")(
                     visual, pos_flatten, enc_ref, spatial_shapes,
                     mask_flatten)
+                if lang_layers:
+                    lang_hidden = lang_layers[i](
+                        lang_hidden.astype(self.dtype), lang_bias)
         memory = visual
 
         # pooled language feature (after fusion)
