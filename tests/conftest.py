@@ -22,3 +22,25 @@ jax.config.update(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                  ".xla_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+
+# ---- fast lane ------------------------------------------------------------
+# The model-building tests are compile-bound (tens of minutes cold on one
+# CPU core). They are auto-marked "heavy" so CI and humans get a quick lane:
+#   python -m pytest tests/ -q -m "not heavy"     (~2-3 min, no model jits)
+# Full-suite timing is recorded honestly in tests/README.md.
+_HEAVY_FILES = {
+    "test_model.py", "test_video_model.py", "test_torch_mirror_full.py",
+    "test_torch_mirror_vid.py", "test_trainer_loop.py", "test_eval_loop.py",
+    "test_tp_sharding.py", "test_scan_encoder.py", "test_mini_coco.py",
+    "test_registry_recipe.py", "test_vit_parity.py", "test_sot.py",
+    "test_vis_driver.py", "test_real_format_outputs.py", "test_tools_cli.py",
+    "test_bert_parity.py", "test_msda.py", "test_convert_scan.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _HEAVY_FILES:
+            item.add_marker(_pytest.mark.heavy)

@@ -25,6 +25,8 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
 
     def save(self, step: int, state) -> None:
+        if step in (self._mgr.all_steps() or ()):  # idempotent per step:
+            return  # hooks may fire periodic+final/best saves at one iter
         self._mgr.save(step, args=ocp.args.StandardSave(
             {"params": state.params, "opt_state": state.opt_state,
              "step": state.step}))

@@ -30,7 +30,8 @@ class Trainer:
                  eval_fn: Optional[Callable] = None,
                  eval_period: int = 5000,
                  log_period: int = 20,
-                 profile_iters: Optional[tuple] = None):
+                 profile_iters: Optional[tuple] = None,
+                 extra_hooks: Optional[List] = None):
         # profile_iters=(start, stop): dump a jax.profiler trace for those
         # iterations (parity: TorchProfiler hook, engine/hooks.py:376)
         self.profile_iters = profile_iters
@@ -84,6 +85,17 @@ class Trainer:
             self._steps = {}
         self._step_for(first_task)
         self._pending_first = first
+        # hook stack (engine/hooks.py — reference DefaultTrainer.build_hooks,
+        # engine/defaults.py:340-380). extra_hooks append after the defaults.
+        from .hooks import default_hooks
+        from .optimizer import lr_schedule
+        self.hooks = default_hooks(
+            cfg.solver, log_period=log_period, eval_fn=eval_fn,
+            eval_period=eval_period, profile_iters=profile_iters,
+            profile_dir=self.profile_dir,
+            schedule_fn=lr_schedule(cfg.solver))
+        if extra_hooks:
+            self.hooks.extend(extra_hooks)
 
     def _step_for(self, task: str):
         if task not in self._steps:
@@ -101,17 +113,21 @@ class Trainer:
         return resumed
 
     def train(self):
+        """The hook loop (reference TrainerBase.train,
+        engine/train_loop.py:133-160): before/after hooks around one jitted
+        routed step; all periodic behavior (writers, checkpoints, eval,
+        profiler window, memory stats) lives in engine/hooks.py."""
         cfg = self.cfg.solver
         start = int(self.state.step)
         rng = jax.random.PRNGKey(1234 + start)
         batch = self._pending_first
         data_iter = iter(self.loader)
+        for h in self.hooks:
+            h.before_train(self)
         for it in range(start, cfg.max_iter):
             self.storage.iter = it
-            if self.profile_iters and it == self.profile_iters[0]:
-                jax.profiler.start_trace(self.profile_dir)
-            if self.profile_iters and it == self.profile_iters[1]:
-                jax.profiler.stop_trace()
+            for h in self.hooks:
+                h.before_step(self)
             t0 = time.perf_counter()
             rng, step_rng = jax.random.split(rng)
             step = self._step_for(batch["__task__"]) if "__task__" in batch \
@@ -123,19 +139,12 @@ class Trainer:
             except StopIteration:
                 data_iter = iter(self.loader)
                 batch = next(data_iter)
-            if (it + 1) % self.log_period == 0:
-                metrics = {k: float(v) for k, v in metrics.items()}
-                metrics["time"] = time.perf_counter() - t0
-                self.storage.put_scalars(**metrics)
-                for w in self.writers:
-                    w.write(self.storage)
-            if (it + 1) % cfg.checkpoint_period == 0:
-                self.ckpt.save(it + 1, self.state)
-            if self.eval_fn and (it + 1) % self.eval_period == 0:
-                results = self.eval_fn(self.model, self.state.params)
-                self.storage.put_scalars(**{f"eval/{k}": v
-                                            for k, v in results.items()})
-        self.ckpt.save(cfg.max_iter, self.state)
+            metrics = dict(metrics)
+            metrics["time"] = time.perf_counter() - t0
+            for h in self.hooks:
+                h.after_step(self, metrics)
+        for h in self.hooks:
+            h.after_train(self)
 
 
 def _strip(batch):
