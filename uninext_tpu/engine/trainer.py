@@ -45,8 +45,12 @@ class Trainer:
             # cache set by tests/conftest.py) — overriding it with a
             # per-run output dir would defeat caching entirely
             if not jax.config.jax_compilation_cache_dir:
-                jax.config.update("jax_compilation_cache_dir",
-                                  f"{output_dir}/xla_cache")
+                # stable across runs (evidence tools use throwaway tmp
+                # output dirs — a per-run cache would never hit)
+                import os as _os
+                jax.config.update(
+                    "jax_compilation_cache_dir",
+                    _os.path.expanduser("~/.cache/uninext_xla"))
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
         except Exception:
             pass
