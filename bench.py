@@ -360,7 +360,8 @@ def main():
                         ("VISRESULT.json", "real_format_vis_map"),
                         ("SOTRESULT.json", "real_format_sot_auc"),
                         ("RECRESULT.json", "real_format_rec"),
-                        ("JOINTRESULT.json", "real_format_joint")):
+                        ("JOINTRESULT.json", "real_format_joint"),
+                        ("JOINTABRESULT.json", "joint_vis_ab_diagnosis")):
             p = os.path.join(here, fn)
             if os.path.exists(p):
                 with open(p) as f:

@@ -94,3 +94,39 @@ def test_pseudo_video_pairs_use_independent_aug(tmp_path):
         k, r = mapper(vid2, random.Random(seed))
         assert k.image.shape == r.image.shape
         np.testing.assert_allclose(k.boxes[k.valid], r.boxes[r.valid])
+
+
+def test_referring_mini_ytvis_fixture(tmp_path):
+    """R-VOS fixture: expressions table + single annotated target per video
+    with distractors in the pixels; the video mapper produces a grounding
+    pair whose positive map hits only the target slot."""
+    import random
+
+    from uninext_tpu.config import DataConfig
+    from uninext_tpu.data.mini_coco import make_mini_ytvis
+    from uninext_tpu.data.video import VideoPairMapper, load_ytvis_json
+
+    paths = make_mini_ytvis(str(tmp_path), n_train=3, n_val=2,
+                            referring=True, max_objects=3, seed=5)
+    recs, cats = load_ytvis_json(paths["train_json"], paths["train_root"],
+                                 has_expression=True)
+    assert len(recs) == 3
+    for r in recs:
+        assert r["task"] == "grounding"
+        assert len(r["tracks"]) == 1              # only the referred target
+        expr = r["expressions"][0]
+        assert expr.startswith("the ")
+        # the expression names the annotated track's category
+        assert cats[r["tracks"][0]["category_id"]] in expr
+
+    cfg = DataConfig(max_insts=4, max_text_len=32,
+                     min_size_train=(96,), max_size_train=128,
+                     crop_enabled=False)
+    mapper = VideoPairMapper(cfg, cats, tokenizer=None,
+                             sampling_frame_range=3)
+    key, ref = mapper(recs[0], random.Random(0))
+    assert key.text_ids.any()                      # expression tokenized
+    # grounding positive map: valid slots point at the pooled token (col 0)
+    assert key.positive_map[key.valid, 0].all()
+    assert not key.positive_map[~key.valid].any()
+    assert key.positive_map.shape == ref.positive_map.shape

@@ -169,3 +169,30 @@ def test_demo_video_frames_and_sot(tmp_path, monkeypatch):
         "--init-box", "40", "30", "70", "60", "--output", str(out_sot)])
     demo.main()
     assert len(os.listdir(out_sot)) == 3
+
+
+def test_eval_video_rvos_cli(tmp_path, monkeypatch, capsys):
+    """eval_video.py --task rvos streams (video, expression) pairs, writes
+    the Ref-YTVOS submission layout Annotations/<vid>/<exp_idx>/<frame>.png
+    and prints per-expression + mean J&F (reference inference_rvos,
+    uninext_vid.py:1293)."""
+    from uninext_tpu.data.mini_coco import make_mini_ytvis
+    paths = make_mini_ytvis(str(tmp_path / "rv"), n_train=1, n_val=1,
+                            referring=True, max_objects=2, seed=9,
+                            size=(96, 128), length=3)
+
+    import eval_video
+    out = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv", [
+        "eval_video.py", "--task", "rvos",
+        "--data-root", paths["val_root"], "--json", paths["val_json"],
+        "--config", "tiny_test_config", "--bucket", "96", "128",
+        "--output-dir", str(out)])
+    eval_video.main()
+    txt = capsys.readouterr().out
+    assert "mean J&F" in txt
+    vids = list((out / "Annotations").iterdir())
+    assert len(vids) == 1
+    pngs = list((vids[0] / "0").glob("*.png"))
+    assert len(pngs) == 3
+    assert Image.open(pngs[0]).mode == "P"

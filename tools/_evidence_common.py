@@ -110,6 +110,78 @@ def eval_sot_vos(model, params, cfg, val_recs, H, W, verbose=True):
     return evaluate_sot_dataset(per_seq), float(np.mean(jf_all))
 
 
+def eval_mot(model, params, cfg, val_recs, cats, H, W):
+    """QDTrack association over every val video; returns pooled CLEAR-MOT
+    metrics (MOTA/IDF1) across sequences."""
+    import jax.numpy as jnp
+    from uninext_tpu.data.prompts import create_label_token_map
+    from uninext_tpu.data.tokenizer import BertTokenizer
+    from uninext_tpu.engine.mot_inference import MOTDriver
+    from uninext_tpu.evaluation.mot_eval import (evaluate_mot,
+                                                 pool_mot_metrics)
+    tok = BertTokenizer()
+    tids, tmask, cmap = create_label_token_map(cats, tok,
+                                               cfg.data.max_text_len)
+    drv = MOTDriver(model, params, cfg, jnp.asarray(cmap), H, W)
+    img_masks = jnp.zeros((1, H, W), bool)
+    sizes = jnp.asarray([[H, W]], jnp.int32)
+    per_seq = []
+    for rec in val_recs:
+        pred = drv.run_video(frames_of(rec), img_masks, sizes,
+                             jnp.asarray(tids[None]), jnp.asarray(tmask[None]),
+                             ori_size=(rec["height"], rec["width"]))
+        gt_frames, pred_frames = [], []
+        for fi in range(rec["length"]):
+            ids, boxes = [], []
+            for ti, tr in enumerate(rec["tracks"]):
+                b = tr["bboxes"][fi] if fi < len(tr["bboxes"]) else None
+                if b is not None:
+                    ids.append(ti)
+                    boxes.append([b[0], b[1], b[0] + b[2], b[1] + b[3]])
+            gt_frames.append({"ids": np.array(ids, np.int64),
+                              "boxes": np.array(boxes, np.float64).reshape(
+                                  -1, 4)})
+            dets = pred[fi]
+            pred_frames.append({
+                "ids": np.array([d["id"] for d in dets], np.int64),
+                "boxes": np.array([d["box_xyxy"] for d in dets],
+                                  np.float64).reshape(-1, 4)})
+        per_seq.append(evaluate_mot(gt_frames, pred_frames))
+    return pool_mot_metrics(per_seq)
+
+
+def eval_rvos(model, params, cfg, val_recs, H, W):
+    """Referring VOS: expression prompt -> per-frame top-1 mask -> J&F vs
+    the referred track's gt masks. val_recs from
+    load_ytvis_json(..., has_expression=True)."""
+    import jax
+    import jax.numpy as jnp
+    from uninext_tpu.data.tokenizer import BertTokenizer
+    from uninext_tpu.engine.mot_inference import RVOSDriver
+    from uninext_tpu.evaluation.davis_eval import evaluate_davis
+    from uninext_tpu.models.detr import UninextDETR
+    tok = BertTokenizer()
+    encode = jax.jit(lambda p, a, b: model.apply(
+        {"params": p}, a, b, method=UninextDETR.encode_text))
+    drv = RVOSDriver(model, params, cfg, H, W)
+    img_masks = jnp.zeros((1, H, W), bool)
+    sizes = jnp.asarray([[H, W]], jnp.int32)
+    jf_all = []
+    for rec in val_recs:
+        expr = rec["expressions"][0]
+        t = tok(expr, max_length=cfg.data.max_text_len)
+        lang = encode(params, jnp.asarray(t["input_ids"][None]),
+                      jnp.asarray(t["attention_mask"][None]))
+        pred = drv.run_video(frames_of(rec), img_masks, sizes,
+                             lang["hidden"], lang["masks"],
+                             ori_size=(rec["height"], rec["width"]))
+        _, _, gt_masks = scaled_track_gt(rec, rec["height"], rec["width"])
+        jf = evaluate_davis({1: [m.astype(bool) for m in pred]},
+                            {1: gt_masks})["J&F"]
+        jf_all.append(jf)
+    return float(np.mean(jf_all))
+
+
 def eval_vis(model, params, cfg, val_recs, val_json, cats, H, W):
     """Stream every val video through the IDOL driver, score offline track
     mAP; returns the metric dict."""

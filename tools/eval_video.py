@@ -181,9 +181,21 @@ def run_sot(args, model, params, cfg, HW):
     for i, seq in enumerate(seqs):
         if args.max_videos and i >= args.max_videos:
             break
+        gt = np.asarray(seq["gt_xywh"], np.float32)     # original pixels
+        # task-level resume: a finished <vid>.txt with one box per frame is
+        # reused instead of re-running the model (reference
+        # uninext_vid.py:469-471 skips already-saved videos)
+        done = os.path.join(args.output_dir, f"{seq['name']}.txt")
+        if os.path.exists(done):
+            prev = np.loadtxt(done, delimiter=",", ndmin=2)
+            if len(prev) == len(seq["frames"]):
+                print(f"[sot] {seq['name']}: resuming from {done}")
+                pred_xywh = prev.astype(np.float32)
+                per_seq[seq["name"]] = evaluate_sot(pred_xywh, gt,
+                                                    seq.get("visible"))
+                continue
         frames, img_masks, sizes, (h, w), (h0, w0) = frames_of(
             seq["frames"], H, W)
-        gt = np.asarray(seq["gt_xywh"], np.float32)     # original pixels
         sx, sy = w / w0, h / h0
         init = gt[0] * [sx, sy, sx, sy]
         init_xyxy = np.array([init[0], init[1],
@@ -337,6 +349,66 @@ def run_mot(args, model, params, cfg, HW):
     print(f"[mot] -> {path}")
 
 
+def run_rvos(args, model, params, cfg, HW):
+    """Ref-Youtube-VOS-style eval: per (video, expression) streaming top-1
+    masks -> submission PNGs Annotations/<vid>/<exp_idx>/<frame>.png
+    (reference inference_rvos, uninext_vid.py:1293-1358; the official
+    server consumes exactly this layout). When the json also carries the
+    referred tracks' segmentations (our mini fixtures; Ref-DAVIS), a mean
+    J&F is printed."""
+    import jax
+    import jax.numpy as jnp
+    from uninext_tpu.data.masks import polygons_to_mask
+    from uninext_tpu.data.tokenizer import BertTokenizer
+    from uninext_tpu.data.video import load_ytvis_json
+    from uninext_tpu.engine.mot_inference import RVOSDriver
+    from uninext_tpu.evaluation.davis_eval import evaluate_davis, \
+        save_davis_png
+    from uninext_tpu.models.detr import UninextDETR
+    H, W = HW
+    recs, _ = load_ytvis_json(args.json, args.data_root,
+                              has_expression=True)
+    tok = BertTokenizer()
+    encode = jax.jit(lambda p, a, b: model.apply(
+        {"params": p}, a, b, method=UninextDETR.encode_text))
+    drv = RVOSDriver(model, params, cfg, H, W)
+    jf_all = []
+    for i, rec in enumerate(recs):
+        if args.max_videos and i >= args.max_videos:
+            break
+        frames, img_masks, sizes, _, (h0, w0) = frames_of(
+            rec["file_names"], H, W)
+        vname = os.path.basename(os.path.dirname(rec["file_names"][0]))
+        for ei, expr in enumerate(rec["expressions"] or []):
+            t = tok(expr, max_length=cfg.data.max_text_len)
+            lang = encode(params, jnp.asarray(t["input_ids"][None]),
+                          jnp.asarray(t["attention_mask"][None]))
+            masks = drv.run_video(frames, img_masks, sizes,
+                                  lang["hidden"], lang["masks"],
+                                  ori_size=(h0, w0))
+            for fi, m in enumerate(masks):
+                fn = os.path.splitext(os.path.basename(
+                    rec["file_names"][fi]))[0] + ".png"
+                save_davis_png(m.astype(np.uint8), os.path.join(
+                    args.output_dir, "Annotations", vname, str(ei), fn))
+            if rec["tracks"]:
+                gt = []
+                for fi in range(rec["length"]):
+                    segs = rec["tracks"][0]["segmentations"][fi]
+                    gt.append(polygons_to_mask(
+                        [np.asarray(s, np.float64) for s in segs], h0, w0
+                    ).astype(bool) if segs else np.zeros((h0, w0), bool))
+                jf = evaluate_davis({1: [m.astype(bool) for m in masks]},
+                                    {1: gt})["J&F"]
+                jf_all.append(jf)
+                print(f"[rvos] {vname}/{ei} '{expr}' J&F={jf:.3f}")
+            else:
+                print(f"[rvos] {vname}/{ei} '{expr}' ({len(masks)} frames)")
+    if jf_all:
+        print(f"[rvos] mean J&F over {len(jf_all)} (video, expr): "
+              f"{float(np.mean(jf_all)):.4f}")
+
+
 def main():
     args = parse_args()
     os.makedirs(args.output_dir, exist_ok=True)
@@ -350,8 +422,7 @@ def main():
     elif args.task == "mot":
         run_mot(args, model, params, cfg, HW)
     else:
-        raise SystemExit(f"task {args.task}: use engine/rvos_offline.py "
-                         "drivers directly (expression-conditioned)")
+        run_rvos(args, model, params, cfg, HW)
 
 
 if __name__ == "__main__":

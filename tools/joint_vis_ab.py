@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Controlled diagnosis of the joint-training VIS regression (VERDICT r2 #5).
+
+Round-2 evidence: single-task VIS 1000 steps -> track mAP 0.45
+(VISRESULT.json) but the 800-step 0.5/0.5 joint VIS+SOT run -> 0.17
+(JOINTRESULT.json). Hypothesis under test: the regression is *VIS exposure*
+(a 0.5 mixture halves the VIS steps: 800 joint steps ~ 400 VIS steps), not
+cross-task interference through the shared trunk.
+
+Arms (identical VIS dataset/seed/mapper/eval to tools/real_joint_check.py):
+  single@N       VIS-only training, N steps            (exposure anchor)
+  joint@N:r      VIS+SOT mixture, N total steps, VIS ratio r; the actual
+                 per-task step counts are tallied from the routed batches.
+
+Default protocol:
+  single@400     -- same VIS exposure as the regressed joint_800@0.5 run;
+                    if this also lands ~0.17, interference is excluded.
+  single@1000    -- upper anchor (re-run under this tool's exact cfg).
+  joint@1334:0.75 -- ~1000 VIS steps with SOT interleaved; if it reaches
+                    >= 0.8x single@1000, the root cause is exposure and the
+                    fix is the mixture ratio/schedule, closing VERDICT #5.
+
+Writes JOINTABRESULT.json at the repo root.
+
+Usage: python tools/joint_vis_ab.py [--device cpu] [--arms single@400 ...]
+"""
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_arm(spec, vis_paths, sot_paths, seed=0):
+    """spec: "single@N" or "joint@N:r" -> result dict."""
+    from _evidence_common import build_tiny_cfg, eval_sot_vos, eval_vis
+    from uninext_tpu.data.loader import MultiDatasetLoader
+    from uninext_tpu.data.tokenizer import BertTokenizer
+    from uninext_tpu.data.video import VideoPairMapper, load_ytvis_json
+    from uninext_tpu.engine.trainer import Trainer
+
+    kind, rest = spec.split("@")
+    ratio = 0.5
+    if ":" in rest:
+        steps, ratio = rest.split(":")
+        steps, ratio = int(steps), float(ratio)
+    else:
+        steps = int(rest)
+
+    tok = BertTokenizer()
+    cfg = build_tiny_cfg(steps, frame_range=7, use_reid=True)
+    vis_train, cats = load_ytvis_json(vis_paths["train_json"],
+                                      vis_paths["train_root"])
+    vis_val, _ = load_ytvis_json(vis_paths["val_json"], vis_paths["val_root"])
+    m_vis = VideoPairMapper(cfg.data, cats, tok, sampling_frame_range=5)
+
+    if kind == "single":
+        sources = [(vis_train, m_vis, 2, "detection")]
+        weights = [1.0]
+    else:
+        sot_train, _ = load_ytvis_json(sot_paths["train_json"],
+                                       sot_paths["train_root"])
+        m_sot = VideoPairMapper(cfg.data, cats, tok, sampling_frame_range=7)
+        sources = [(vis_train, m_vis, 2, "detection"),
+                   (sot_train, m_sot, 2, "sot")]
+        weights = [ratio, 1.0 - ratio]
+    loader = MultiDatasetLoader(sources, weights, seed=seed, num_workers=2)
+
+    counts = {}
+
+    def counting(it):
+        for b in it:
+            counts[b.get("__task__", "detection")] = \
+                counts.get(b.get("__task__", "detection"), 0) + 1
+            yield b
+
+    t0 = time.time()
+    trainer = Trainer(cfg, counting(iter(loader)),
+                      output_dir=tempfile.mkdtemp(prefix="ab_out_"),
+                      task="detection", has_masks=True, use_mesh=False,
+                      video=True, log_period=100)
+    trainer.train()
+    train_s = time.time() - t0
+    # the trainer prefetches one batch ahead: executed counts are ~counts-1
+    print(f"[{spec}] trained {steps} steps in {train_s:.0f}s; "
+          f"batches drawn per task: {counts}", flush=True)
+
+    p = trainer.state.params
+    res = eval_vis(trainer.model, p, cfg, vis_val, vis_paths["val_json"],
+                   cats, 192, 256)
+    out = {"spec": spec, "steps": steps,
+           "vis_steps_drawn": counts.get("detection", 0),
+           "sot_steps_drawn": counts.get("sot", 0),
+           "train_seconds": round(train_s, 1),
+           "vis_map": round(float(res["AP"]), 4),
+           "vis_ap50": round(float(res["AP50"]), 4)}
+    if kind == "joint":
+        sot_val, _ = load_ytvis_json(sot_paths["val_json"],
+                                     sot_paths["val_root"])
+        agg, jf = eval_sot_vos(trainer.model, p, cfg, sot_val, 192, 256,
+                               verbose=False)
+        out["sot_auc"] = round(float(agg["AUC"]), 4)
+        out["vos_jf"] = round(jf, 4)
+    print(f"[{spec}] {out}", flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--arms", nargs="+",
+                    default=["single@400", "single@1000", "joint@1334:0.75"])
+    ap.add_argument("--out", default=os.path.join(REPO, "JOINTABRESULT.json"))
+    args = ap.parse_args()
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from uninext_tpu.data.mini_coco import make_mini_ytvis
+    # EXACTLY the datasets of real_joint_check.py (fixed seeds)
+    vis_root = tempfile.mkdtemp(prefix="ab_vis_")
+    sot_root = tempfile.mkdtemp(prefix="ab_sot_")
+    vis_paths = make_mini_ytvis(vis_root, length=6, max_objects=2)
+    sot_paths = make_mini_ytvis(sot_root, length=8, max_objects=1, seed=11)
+
+    results = [run_arm(s, vis_paths, sot_paths) for s in args.arms]
+    payload = {
+        "hypothesis": "joint VIS mAP tracks VIS exposure (routed VIS step "
+                      "count), not cross-task interference",
+        "r2_anchors": {"single_1000_visresult": 0.4544,
+                       "joint_800_at_0.5_jointresult": 0.1688},
+        "arms": results,
+    }
+    single = {r["spec"]: r for r in results if r["spec"].startswith("single")}
+    joint = [r for r in results if r["spec"].startswith("joint")]
+    if "single@1000" in single and joint:
+        ratio = joint[-1]["vis_map"] / max(single["single@1000"]["vis_map"],
+                                           1e-9)
+        payload["joint_over_single_at_matched_exposure"] = round(ratio, 3)
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"[done] wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

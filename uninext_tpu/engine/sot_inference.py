@@ -27,6 +27,7 @@ from ..config import UninextConfig
 from ..models.detr import UninextDETR, feature_shapes
 from ..models.sot import crop_template
 from ..utils import box_ops
+from ..utils.misc import agg_lang_feat
 
 
 def make_template_encoder(model: UninextDETR, cfg: UninextConfig,
@@ -59,8 +60,12 @@ def make_sot_frame_step(model: UninextDETR, cfg: UninextConfig,
 
     @jax.jit
     def step(params, image, img_mask, sizes, lang_hidden, lang_mask):
+        # masked pooling: identical to mean(1) for template pseudo-language
+        # (every token valid) but required when this step serves R-VOS with
+        # a padded text expression (reference agg_lang_feat,
+        # deformable_transformer.py:28-43)
         lang = {"hidden": lang_hidden, "masks": lang_mask,
-                "aggregate": lang_hidden.mean(1)}
+                "aggregate": agg_lang_feat(lang_hidden, lang_mask)}
         out = model.apply({"params": params}, image, img_mask, sizes,
                           None, None, task="grounding", train=False,
                           lang_dict=lang)
