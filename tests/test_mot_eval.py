@@ -62,3 +62,27 @@ def test_pooled_metrics_weight_by_length():
     assert pooled["n_gt"] == 10
     # IDF1 pooled: idtp 9; totals = (10 gt + 10 pred) -> 0.9
     assert abs(pooled["IDF1"] - 0.9) < 1e-9
+
+
+def test_associate_outputs_original_pixel_boxes():
+    """associate() must emit box_xyxy in ORIGINAL-image pixels: frame-step
+    boxes are normalized to the content region, so the transform is
+    normalized * (ow, oh) — the same net convention as
+    engine/evaluator.py:81-82 (regression test for the r3 scale bug that
+    made every MOT box land in [0, ow/img_w])."""
+    from uninext_tpu.engine.mot_inference import associate
+
+    emb = np.zeros((1, 8), np.float32)
+    emb[0, 0] = 1.0
+    raw = [{"boxes": np.array([[0.25, 0.5, 0.75, 1.0]], np.float32),
+            "scores": np.array([0.9], np.float32),
+            "labels": np.array([0], np.int64),
+            "embeds": emb}
+           for _ in range(2)]
+    per_frame = associate(raw, image_size=(192, 256), ori_size=(384, 512),
+                          init_score_thr=0.1, obj_score_thr=0.1)
+    dets = [d for frame in per_frame for d in frame]
+    assert dets, "tracker formed no track"
+    np.testing.assert_allclose(
+        dets[0]["box_xyxy"], [0.25 * 512, 0.5 * 384, 0.75 * 512, 1.0 * 384],
+        rtol=1e-6)

@@ -94,10 +94,12 @@ def run_arm(spec, vis_paths, sot_paths, seed=0):
     p = trainer.state.params
     res = eval_vis(trainer.model, p, cfg, vis_val, vis_paths["val_json"],
                    cats, 192, 256)
+    import jax
     out = {"spec": spec, "steps": steps,
            "vis_steps_drawn": counts.get("detection", 0),
            "sot_steps_drawn": counts.get("sot", 0),
            "train_seconds": round(train_s, 1),
+           "device": jax.devices()[0].platform,
            "vis_map": round(float(res["AP"]), 4),
            "vis_ap50": round(float(res["AP50"]), 4)}
     if kind == "joint":
@@ -117,6 +119,9 @@ def main():
     ap.add_argument("--arms", nargs="+",
                     default=["single@400", "single@1000", "joint@1334:0.75"])
     ap.add_argument("--out", default=os.path.join(REPO, "JOINTABRESULT.json"))
+    ap.add_argument("--merge", action="store_true",
+                    help="append to arms already recorded in --out (lets "
+                         "arms run in separate invocations/devices)")
     args = ap.parse_args()
     if args.device == "cpu":
         import jax
@@ -130,6 +135,11 @@ def main():
     sot_paths = make_mini_ytvis(sot_root, length=8, max_objects=1, seed=11)
 
     results = [run_arm(s, vis_paths, sot_paths) for s in args.arms]
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f).get("arms", [])
+        done = {r["spec"] for r in results}
+        results = [r for r in prev if r["spec"] not in done] + results
     payload = {
         "hypothesis": "joint VIS mAP tracks VIS exposure (routed VIS step "
                       "count), not cross-task interference",

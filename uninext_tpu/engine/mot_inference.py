@@ -81,8 +81,11 @@ def associate(raw_frames: List[Dict], image_size, ori_size,
     per-frame record format every downstream consumer (bdd_submit,
     mot_eval) expects. Pure numpy; cheap to re-run per hyperparameter."""
     tracker = QuasiDenseTracker(**tracker_kwargs)
-    sx = ori_size[1] / image_size[1]
-    sy = ori_size[0] / image_size[0]
+    # frame-step boxes are cxcywh->xyxy of pred_boxes, i.e. NORMALIZED to
+    # the content region — original-pixel coords are normalized * (ow, oh)
+    # (same convention as engine/evaluator.py:81-82). image_size is only
+    # needed for the stride-4 mask decode.
+    ow, oh = float(ori_size[1]), float(ori_size[0])
     per_frame: List[List[Dict]] = []
     for fi, o in enumerate(raw_frames):
         keep_idx, ids = tracker.match(
@@ -91,7 +94,7 @@ def associate(raw_frames: List[Dict], image_size, ori_size,
         for si, tid in zip(keep_idx, ids):
             if tid < 0:
                 continue
-            box = o["boxes"][si] * [sx, sy, sx, sy]
+            box = o["boxes"][si] * [ow, oh, ow, oh]
             rec = {"id": int(tid), "category": int(o["labels"][si]),
                    "score": float(o["scores"][si]), "box_xyxy": box}
             if with_masks:
