@@ -27,12 +27,37 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def flagship_cfg(steps: int):
+    """The REAL video_joint_r50 stage-3 preset (R50 + 12-layer frozen BERT
+    + deformable reid head + 4-channel template backbone + SOT fusion, 900
+    queries) with only data resolution and schedule shrunk to sandbox scale
+    — the video counterpart of real_ap_check.py --flagship (VERDICT r2 #4)."""
+    import dataclasses
+
+    from uninext_tpu.config import video_joint_r50
+    cfg = video_joint_r50()
+    return dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, max_insts=8,
+            min_size_train=(192,), max_size_train=256,
+            min_size_test=192, max_size_test=256),
+        solver=dataclasses.replace(
+            cfg.solver, base_lr=1e-4, vl_lr=1e-4,
+            warmup_iters=50, max_iter=steps,
+            checkpoint_period=10 ** 9, steps=(int(steps * 0.8),)),
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--out", default=os.path.join(REPO, "VISRESULT.json"))
     ap.add_argument("--data-root", default=None)
+    ap.add_argument("--flagship", action="store_true",
+                    help="train the real video_joint_r50 stage-3 preset; "
+                         "result recorded under VISRESULT.json['flagship']")
     args = ap.parse_args()
 
     if args.device == "cpu":
@@ -50,7 +75,8 @@ def main():
     paths = make_mini_ytvis(root)
     print(f"[data] mini-ytvis at {root}")
 
-    cfg = build_tiny_cfg(args.steps, frame_range=5, use_reid=True)
+    cfg = (flagship_cfg(args.steps) if args.flagship else
+           build_tiny_cfg(args.steps, frame_range=5, use_reid=True))
     train_recs, cats = load_ytvis_json(paths["train_json"],
                                        paths["train_root"])
     val_recs, _ = load_ytvis_json(paths["val_json"], paths["val_root"])
@@ -83,6 +109,14 @@ def main():
         "pipeline": "jpeg frames->VideoPairMapper->Trainer(video)->"
                     "VISDriver(IDOL)->ytvis json->track mAP",
     }
+    if args.flagship:
+        payload["config"] = "video_joint_r50 (real stage-3 flagship preset)"
+        existing = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                existing = json.load(f)
+        existing["flagship"] = payload
+        payload = existing
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
     print(f"[done] wrote {args.out}")
