@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--out", default=os.path.join(REPO, "JOINTRESULT.json"))
+    ap.add_argument("--weights", type=float, nargs=4,
+                    default=[0.45, 0.15, 0.2, 0.2],
+                    metavar=("VIS", "BDD", "RVOS", "SOT"),
+                    help="mixture ratios (the DATASET_RATIO lever)")
     args = ap.parse_args()
 
     if args.device == "cpu":
@@ -97,7 +101,7 @@ def main():
          (bdd_train, m_bdd, 2, "detection"),
          (rvos_train, m_rvos, 2, "grounding"),
          (sot_train, m_sot, 2, "sot")],
-        [0.45, 0.15, 0.2, 0.2], seed=0, num_workers=2)
+        args.weights, seed=0, num_workers=2)
 
     counts = {}
 
@@ -144,6 +148,7 @@ def main():
                    "referring + SOT), ONE jointly trained model "
                    "(multi-task routed stage-3)",
         "steps": args.steps,
+        "mixture_weights": args.weights,
         "steps_per_task": counts,
         "train_seconds": round(train_s, 1),
         "pipeline": "mixed loader (detection/grounding/sot pairs) -> routed "
