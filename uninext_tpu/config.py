@@ -231,6 +231,12 @@ class SolverConfig:
     max_iter: int = 91990
     ims_per_batch: int = 32
     checkpoint_period: int = 2500
+    # single-chip path to the reference's global batch (bs=32 over 16 GPUs,
+    # image_joint_r50.yaml:29): accumulate k micro-batch grads, apply one
+    # AdamW update with the grad-norm clip on the AVERAGED grad. NOTE:
+    # warmup_iters/steps/max_iter stay in units of optimizer UPDATES; the
+    # train loop then runs k micro-steps per update.
+    grad_accum_steps: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

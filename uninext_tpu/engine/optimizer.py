@@ -79,4 +79,13 @@ def build_optimizer(cfg: SolverConfig, params) -> optax.GradientTransformation:
         )
 
     tx = optax.multi_transform({k: make(v) for k, v in group_lr.items()}, labels)
-    return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    if getattr(cfg, "grad_accum_steps", 1) > 1:
+        # single-chip route to the reference's 32-image global batch: grads
+        # average over k micro-steps, then ONE clipped AdamW update — the
+        # clip applies to the averaged (full-batch) grad exactly as the
+        # reference clips at step time (train_net.py:171-186). Schedules
+        # inside tx advance per UPDATE, so warmup/steps/max_iter keep their
+        # reference meaning.
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx
