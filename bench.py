@@ -361,7 +361,9 @@ def main():
                         ("SOTRESULT.json", "real_format_sot_auc"),
                         ("RECRESULT.json", "real_format_rec"),
                         ("JOINTRESULT.json", "real_format_joint"),
-                        ("JOINTABRESULT.json", "joint_vis_ab_diagnosis")):
+                        ("JOINTABRESULT.json", "joint_vis_ab_diagnosis"),
+                        ("PIPELINE_RESULT.json", "real_format_3stage"),
+                        ("SEGINW_RESULT.json", "seginw_zero_shot")):
             p = os.path.join(here, fn)
             if os.path.exists(p):
                 with open(p) as f:
