@@ -196,3 +196,31 @@ def test_eval_video_rvos_cli(tmp_path, monkeypatch, capsys):
     pngs = list((vids[0] / "0").glob("*.png"))
     assert len(pngs) == 3
     assert Image.open(pngs[0]).mode == "P"
+
+
+def test_eval_video_mots_cli(tmp_path, monkeypatch, capsys):
+    """eval_video.py --task mots runs the masked QDTrack path and writes the
+    BDD seg_track submission (RGBA bitmask PNG per frame + box_track json)
+    — reference bdd_seg_track eval-vid config."""
+    root = tmp_path / "frames"
+    vdir = root / "vid0"
+    vdir.mkdir(parents=True)
+    rng = np.random.RandomState(5)
+    for fi in range(3):
+        arr = (rng.rand(72, 104, 3) * 255).astype(np.uint8)
+        arr[20 + fi:44 + fi, 12:42] = (30, 160, 220)
+        Image.fromarray(arr).save(vdir / f"{fi:05d}.jpg")
+
+    import eval_video
+    out = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv", [
+        "eval_video.py", "--task", "mots", "--data-root", str(root),
+        "--config", "tiny_video_test_config", "--bucket", "96", "128",
+        "--output-dir", str(out)])
+    eval_video.main()
+    txt = capsys.readouterr().out
+    assert "seg_track" in txt
+    assert (out / "box_track.json").exists()
+    pngs = list((out / "seg_track" / "vid0").glob("*.png"))
+    assert len(pngs) == 3
+    assert Image.open(pngs[0]).mode == "RGBA"

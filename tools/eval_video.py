@@ -34,7 +34,7 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--task", required=True,
                    choices=["vis", "vis21", "ovis", "sot", "vos", "mot",
-                            "rvos"])
+                            "mots", "rvos"])
     p.add_argument("--data-root", required=True)
     p.add_argument("--json", help="annotation json (vis/rvos)")
     p.add_argument("--config", default="video_joint_r50")
@@ -304,19 +304,24 @@ def _load_bdd_gt(frames_root, vid, fns):
     return gt
 
 
-def run_mot(args, model, params, cfg, HW):
+def run_mot(args, model, params, cfg, HW, with_masks=False):
+    """MOT (box_track json) or, with_masks, MOTS (seg_track: RGBA bitmask
+    PNGs per frame + json) in BDD100K submission formats — the reference's
+    bdd_box_track / bdd_seg_track eval-vid configs."""
     import jax.numpy as jnp
     from uninext_tpu.data.prompts import create_label_token_map
     from uninext_tpu.data.tokenizer import BertTokenizer
     from uninext_tpu.engine.mot_inference import MOTDriver
     from uninext_tpu.evaluation.bdd_submit import (box_track_to_bdd,
-                                                   save_bdd_json)
+                                                   save_bdd_json,
+                                                   seg_track_to_bdd)
     from uninext_tpu.evaluation.bdd_submit import BDD_CATEGORIES
     H, W = HW
     tok = BertTokenizer()
     tids, tmask, cmap = create_label_token_map(list(BDD_CATEGORIES), tok,
                                                cfg.data.max_text_len)
-    drv = MOTDriver(model, params, cfg, jnp.asarray(cmap), H, W)
+    drv = MOTDriver(model, params, cfg, jnp.asarray(cmap), H, W,
+                    with_masks=with_masks)
     root = args.data_root
     vids = sorted(os.listdir(root))
     all_frames = []
@@ -340,13 +345,21 @@ def run_mot(args, model, params, cfg, HW):
         from uninext_tpu.engine.mot_inference import associate
         tr = cfg.track
         per_frame = associate(raw, image_size, ori,
+                              with_masks=with_masks,
                               init_score_thr=tr.init_score_thr,
                               obj_score_thr=tr.obj_score_thr)
         all_frames.extend(box_track_to_bdd(per_frame, fns, vid))
+        if with_masks:
+            seg_track_to_bdd(per_frame,
+                             [os.path.join(vid, f) for f in fns],
+                             os.path.join(args.output_dir, "seg_track"),
+                             (int(ori[0]), int(ori[1])))
         print(f"[mot] {vid}: {sum(len(f['labels']) for f in all_frames)} dets")
     path = save_bdd_json(all_frames,
                          os.path.join(args.output_dir, "box_track.json"))
-    print(f"[mot] -> {path}")
+    print(f"[mot] -> {path}" + (
+        f" + seg_track PNGs in {args.output_dir}/seg_track"
+        if with_masks else ""))
 
 
 def run_rvos(args, model, params, cfg, HW):
@@ -419,8 +432,9 @@ def main():
         run_sot(args, model, params, cfg, HW)
     elif args.task == "vos":
         run_vos(args, model, params, cfg, HW)
-    elif args.task == "mot":
-        run_mot(args, model, params, cfg, HW)
+    elif args.task in ("mot", "mots"):
+        run_mot(args, model, params, cfg, HW,
+                with_masks=args.task == "mots")
     else:
         run_rvos(args, model, params, cfg, HW)
 

@@ -334,6 +334,17 @@ def tiny_test_config() -> UninextConfig:
     )
 
 
+def tiny_video_test_config() -> UninextConfig:
+    """tiny_test_config + the stage-3 video towers (reid embeds for
+    MOT/VIS association, template machinery for SOT/VOS) — what the video
+    CLI drivers need from a test-scale model."""
+    base = tiny_test_config()
+    return dataclasses.replace(
+        base, use_reid=True,
+        sot=dataclasses.replace(base.sot, extra_backbone_for_template=True,
+                                feature_fusion=True))
+
+
 # ---- per-task evaluation presets (reference configs/eval-vid/*.yaml) ------
 # The 17 eval yamls vary only in TEST datasets + INPUT.MIN_SIZE_TEST (same
 # matrix for R50 / ConvNeXt-L / ViT-H); VOTS additionally switches the
