@@ -94,12 +94,20 @@ for split in ("train", "val", "test"):
     register(f"refcocog-umd-{split}",
              partial(_refcoco, json_rel=f"annotations/refcocog-umd/instances_{split}.json"),
              "grounding")
+register("refcocog-google-val",
+         partial(_refcoco, json_rel="annotations/refcocog-google/instances_val.json"),
+         "grounding")
 register("refcoco-mixed",
          partial(_refcoco, json_rel="annotations/refcoco-mixed/instances_train.json"),
+         "grounding")
+# dedup-filtered variant of the mixed split (builtin.py:31)
+register("refcoco-mixed-filter",
+         partial(_refcoco, json_rel="annotations/refcoco-mixed/instances_train_filter.json"),
          "grounding")
 register("flickr30k_train",
          partial(_refcoco, json_rel="flickr30k/final_flickr_separateGT_train.json",
                  img_rel="flickr30k/flickr30k-images"), "grounding")
+_REGISTRY["flicker-train"] = _REGISTRY["flickr30k_train"]  # reference's key
 
 # ---- video instance segmentation ----
 register("ytvis_2019_train",
@@ -114,12 +122,36 @@ register("ytvis_2021_train",
 register("ytvis_2021_val",
          partial(_ytvis, json_rel="ytvis_2021/valid.json",
                  img_rel="ytvis_2021/valid/JPEGImages"), "detection")
+register("ytvis_2019_test",
+         partial(_ytvis, json_rel="ytvis_2019/test.json",
+                 img_rel="ytvis_2019/test/JPEGImages"), "detection")
+register("ytvis_2019_dev",
+         partial(_ytvis, json_rel="ytvis_2019/instances_train_sub.json",
+                 img_rel="ytvis_2019/train/JPEGImages"), "detection")
+register("ytvis_2021_test",
+         partial(_ytvis, json_rel="ytvis_2021/test.json",
+                 img_rel="ytvis_2021/test/JPEGImages"), "detection")
+register("ytvis_2021_dev",
+         partial(_ytvis, json_rel="ytvis_2021/instances_train_sub.json",
+                 img_rel="ytvis_2021/train/JPEGImages"), "detection")
+register("ytvis_2022_val_full",
+         partial(_ytvis, json_rel="ytvis_2022/instances.json",
+                 img_rel="ytvis_2022/val/JPEGImages"), "detection")
+register("ytvis_2022_val_sub",
+         partial(_ytvis, json_rel="ytvis_2022/instances_sub.json",
+                 img_rel="ytvis_2022/val/JPEGImages"), "detection")
 register("ovis_train",
          partial(_ytvis, json_rel="ovis/annotations_train.json",
                  img_rel="ovis/train"), "detection")
 register("ovis_val",
          partial(_ytvis, json_rel="ovis/annotations_valid.json",
                  img_rel="ovis/valid"), "detection")
+register("ytvis_ovis_train_sub",
+         partial(_ytvis, json_rel="ovis/ovis_sub_train.json",
+                 img_rel="ovis/train"), "detection")
+register("ytvis_ovis_val_sub",
+         partial(_ytvis, json_rel="ovis/ovis_sub_val.json",
+                 img_rel="ovis/train"), "detection")
 register("rvos-refytb-train",
          partial(_ytvis, json_rel="ref-youtube-vos/train.json",
                  img_rel="ref-youtube-vos/train/JPEGImages",
@@ -146,6 +178,12 @@ register("bdd_seg_track_val",
 # ---- SOT / VOS ----
 register("got10k_train", partial(_sot, kind="got10k", sub="GOT10K"), "sot")
 register("got10k_val", lambda r: _sot(r, "got10k", "GOT10K"), "sot")
+def _got10k_split(root, split):
+    from .sot_datasets import load_got10k
+    return load_got10k(os.path.join(root, "GOT10K"), split=split)
+
+
+register("sot_got10k_test", partial(_got10k_split, split="test"), "sot")
 register("lasot_train", partial(_sot, kind="lasot", sub="LaSOT_trainingset"),
          "sot")
 register("lasot_test", partial(_sot, kind="lasot", sub="LaSOT_testingset"),
@@ -211,6 +249,11 @@ register("bdd_inst_train",
 register("bdd_inst_val",
          partial(_coco, json_rel="bdd/labels/ins_seg/polygons/ins_seg_val_cocoformat_uni.json",
                  img_rel="bdd/images/10k/val"), "detection")
+# BDD detection+tracking frames mixed into one image-level split
+# (builtin.py:215, det_trk_mix.json)
+register("bdd_det_trk_mixed_train",
+         partial(_coco, json_rel="bdd/labels/det_trk_mix.json",
+                 img_rel="bdd/images"), "detection")
 # reference-name aliases used verbatim by the joint-stage yaml recipes
 for _ref, _ours in (("ytvis_ovis_train", "ovis_train"),
                     ("ytvis_ovis_val", "ovis_val"),
