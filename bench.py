@@ -145,10 +145,17 @@ def _init_full(cfg):
 
 
 # --------------------------------------------------------------------------
-def bench_det(model, params):
-    """Config 1: detection serving, prompt cached (encode BERT once)."""
+def bench_det(model, params, H=800, W=1216,
+              metric="coco_det_r50_fps_per_chip_800px_bs1"):
+    """Config 1: detection serving, prompt cached (encode BERT once).
+
+    Default shape is the WORST-CASE 800px bucket (800x1216). The reference
+    serves each image at its native resize (mean COCO val shape ~800x1067),
+    and our eval pipeline likewise buckets to near-native sizes
+    (data/coco.py _bucket: round_up to size_divisibility) — so the
+    median-shape figure (800x1088) is the apples-to-apples serving number
+    and the 1216 figure is the worst bucket. Both are emitted."""
     from uninext_tpu.models.postprocess import postprocess_detection
-    H, W = 800, 1216
     images, img_mask, sizes = _image_inputs(H, W)
     text_ids, text_mask, cls_token_map = _prompt()
     lang = jax.jit(lambda p, tid, tmsk: model.apply(
@@ -168,8 +175,7 @@ def bench_det(model, params):
 
     dts = time_fn(loop, params, images, img_mask, sizes, text_ids,
                   text_mask, lang)
-    return emit("coco_det_r50_fps_per_chip_800px_bs1", 1.0 / dts[0],
-                "frames/sec", 20.0)
+    return emit(metric, 1.0 / dts[0], "frames/sec", 20.0)
 
 
 def bench_instseg(model, params, cfg):
@@ -322,14 +328,17 @@ def main():
     jax.devices()                     # force backend init under the watchdog
     _backend_ok.set()
     want = os.environ.get("UNINEXT_BENCH_CONFIGS",
-                          "det,instseg,rec,vis,sot").split(",")
+                          "det,det_median,instseg,rec,vis,sot").split(",")
     results = {}
     cfg = image_joint_r50()
     model = params = None
-    if {"det", "instseg", "rec"} & set(want):
+    if {"det", "det_median", "instseg", "rec"} & set(want):
         model, params = _init_full(cfg)
     for name, fn in (
             ("det", lambda: bench_det(model, params)),
+            ("det_median", lambda: bench_det(
+                model, params, H=800, W=1088,
+                metric="coco_det_r50_fps_per_chip_median_shape")),
             ("instseg", lambda: bench_instseg(model, params, cfg)),
             ("rec", lambda: bench_rec(model, params, cfg)),
             ("vis", bench_vis),
