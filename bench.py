@@ -354,15 +354,20 @@ def main():
                 results[r["metric"]] = r
         except Exception:
             traceback.print_exc()
-    # aggregate: headline repeated last with everything under "extra"
+    # Two aggregate lines, in this order (round-3 lesson, VERDICT r3 #2:
+    # the driver artifact keeps only a small stdout TAIL, and the evidence-
+    # blob line outgrew it, losing every FPS number from the record):
+    #   1. the full line with every evidence JSON embedded (human/debug)
+    #   2. LAST: a compact line — headline + per-config FPS summary ONLY —
+    #      guaranteed to fit any tail window.
     head = results.get("coco_det_r50_fps_per_chip_800px_bs1")
     if head is None and results:
         head = next(iter(results.values()))
     if head is not None:
-        final = dict(head)
-        final["extra"] = {k: {kk: v[kk] for kk in
-                              ("value", "unit", "vs_baseline")}
-                          for k, v in results.items()}
+        summary = {k: {kk: v[kk] for kk in ("value", "unit", "vs_baseline")}
+                   for k, v in results.items()}
+        full = dict(head)
+        full["extra"] = dict(summary)
         # end-to-end AP evidence (tools/real_ap_check.py, real_vis_check.py)
         here = os.path.dirname(os.path.abspath(__file__))
         for fn, key in (("APRESULT.json", "real_format_ap"),
@@ -372,12 +377,18 @@ def main():
                         ("JOINTRESULT.json", "real_format_joint"),
                         ("JOINTABRESULT.json", "joint_vis_ab_diagnosis"),
                         ("PIPELINE_RESULT.json", "real_format_3stage"),
-                        ("SEGINW_RESULT.json", "seginw_zero_shot")):
+                        ("SEGINW_RESULT.json", "seginw_zero_shot"),
+                        ("BOXINST_RESULT.json", "boxinst_stage1"),
+                        ("CONVNEXT_RESULT.json", "convnext_e2e"),
+                        ("RVOS_DIAG.json", "rvos_diagnosis")):
             p = os.path.join(here, fn)
             if os.path.exists(p):
                 with open(p) as f:
-                    final["extra"][key] = json.load(f)
-        print(json.dumps(final), flush=True)
+                    full["extra"][key] = json.load(f)
+        print(json.dumps(full), flush=True)
+        compact = dict(head)
+        compact["extra"] = summary
+        print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":

@@ -59,15 +59,40 @@ def test_accum_equals_full_batch():
 
 
 def test_clip_applies_to_averaged_grad():
-    # a clip that the averaged grad violates: the update norm must be
-    # bounded by clip * lr regardless of micro-batch grad magnitudes
-    x = jnp.eye(8) * 100.0
-    y = jnp.zeros(8)
+    """The k=2 update must equal a k=1 optimizer fed the MEAN of the two
+    micro-grads, with clip_by_global_norm applied to that averaged grad —
+    NOT per micro-batch (ADVICE r3: the old assertion could not tell the
+    difference).
+
+    Adam's first step is element-wise sign-like, so magnitude-only
+    differences between the two clip orders vanish through it; the grads
+    below are built so the SIGN of element 0 differs: g1[0]=+10 inside a
+    huge-norm grad (clips to ~1e-5), g2[0]=-1 inside a unit-norm grad
+    (clips to ~-1e-3). clip(mean)[0] > 0 but mean(clip)[0] < 0."""
     params = {"w": jnp.ones((8,), jnp.float32)}
+    g1 = {"w": jnp.array([10.0, 1000.0, 1, 1, 1, 1, 1, 1], jnp.float32)}
+    g2 = {"w": jnp.array([-1.0, 0.01, 0, 0, 0, 0, 0, 0], jnp.float32)}
+
     tx = build_optimizer(_solver(grad_accum_steps=2, grad_clip=1e-3), params)
     st = tx.init(params)
-    _, st = tx.update(_grad(params, x[:4], y[:4]), st, params)
-    up, st = tx.update(_grad(params, x[4:], y[4:]), st, params)
-    # adam normalizes magnitude; just assert the update exists and is finite
-    leaf = np.asarray(jax.tree_util.tree_leaves(up)[0])
-    assert np.all(np.isfinite(leaf)) and np.abs(leaf).max() > 0
+    up1, st = tx.update(g1, st, params)
+    assert float(jnp.abs(up1["w"]).max()) == 0.0   # no move mid-accumulation
+    up, st = tx.update(g2, st, params)
+
+    # correct semantics: one clipped update of the averaged grad
+    gmean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, g1, g2)
+    tx1 = build_optimizer(_solver(grad_accum_steps=1, grad_clip=1e-3), params)
+    ref_up, _ = tx1.update(gmean, tx1.init(params), params)
+    np.testing.assert_allclose(np.asarray(up["w"]),
+                               np.asarray(ref_up["w"]), rtol=1e-6)
+
+    # wrong semantics (per-micro-batch clip, then average): element 0 has
+    # the opposite sign, so even through Adam the updates must differ
+    clipped_each = jax.tree_util.tree_map(
+        lambda a, b: (a * jnp.minimum(1.0, 1e-3 / jnp.linalg.norm(a))
+                      + b * jnp.minimum(1.0, 1e-3 / jnp.linalg.norm(b)))
+        / 2.0, g1, g2)
+    assert float(gmean["w"][0]) > 0 > float(clipped_each["w"][0])
+    ref2_up, _ = tx1.update(clipped_each, tx1.init(params), params)
+    assert not np.allclose(np.asarray(up["w"]), np.asarray(ref2_up["w"]),
+                           rtol=1e-4)

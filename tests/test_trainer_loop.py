@@ -49,3 +49,54 @@ def test_trainer_smoke(coco_dir, tmp_path):
     resumed = trainer2.resume_or_load()
     assert resumed
     assert int(trainer2.state.step) == 3
+
+
+def test_trainer_grad_accum_units(coco_dir, tmp_path):
+    """grad_accum_steps=k contract (ADVICE r3, config.py SolverConfig):
+    max_iter / checkpoint_period stay in optimizer-UPDATE units; the loop
+    runs k micro-steps per update. With max_iter=2, k=2: 4 micro-steps,
+    exactly 2 optimizer updates (params immobile mid-accumulation), and the
+    checkpoint at the end carries step=4 (micro-steps)."""
+    import jax
+    import numpy as np
+    from uninext_tpu.data.coco import UniDatasetMapper, load_coco_json
+    from uninext_tpu.data.loader import MultiDatasetLoader
+    from uninext_tpu.engine.trainer import Trainer
+
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, min_size_train=(64,),
+                                 max_size_train=96),
+        solver=dataclasses.replace(cfg.solver, max_iter=2,
+                                   checkpoint_period=5, warmup_iters=0,
+                                   grad_accum_steps=2))
+    records, cats = load_coco_json(str(coco_dir / "train.json"),
+                                   str(coco_dir))
+    mapper = UniDatasetMapper(cfg.data, cats, is_train=True)
+    loader = iter(MultiDatasetLoader([(records, mapper, 8)], [1.0], seed=0,
+                                     num_workers=1))
+    out = str(tmp_path / "out_accum")
+    trainer = Trainer(cfg, loader, output_dir=out, task="detection",
+                      use_mesh=True, log_period=1)
+
+    def snap(params):  # all leaves, not just the first (some groups are 0-lr)
+        return np.concatenate([np.asarray(l).ravel()
+                               for l in jax.tree_util.tree_leaves(params)])
+
+    seen = [snap(trainer.state.params)]
+    from uninext_tpu.engine.hooks import HookBase
+
+    class Probe(HookBase):
+        def after_step(self, tr, metrics):
+            seen.append(snap(tr.state.params))
+
+    trainer.hooks.append(Probe())
+    trainer.train()
+    # 4 micro-steps ran; params move ONLY on micro-steps 2 and 4
+    assert len(seen) == 5, len(seen)
+    assert np.array_equal(seen[1], seen[0])     # mid-accumulation: no move
+    assert not np.array_equal(seen[2], seen[1])  # update 1
+    assert np.array_equal(seen[3], seen[2])
+    assert not np.array_equal(seen[4], seen[3])  # update 2
+    assert int(trainer.state.step) == 4

@@ -105,7 +105,6 @@ class TransformerConfig:
     # (deformable_transformer_dino.py:69-76,326: vl -> deform -> lang).
     # Default off, matching the reference flagship configs.
     use_additional_bert: bool = False
-    use_additional_bert: bool = False
     still_cls_for_encoder: bool = True
     use_iou_branch: bool = True
     # VL_Align (MODEL.DYHEAD.*)

@@ -107,7 +107,11 @@ register("refcoco-mixed-filter",
 register("flickr30k_train",
          partial(_refcoco, json_rel="flickr30k/final_flickr_separateGT_train.json",
                  img_rel="flickr30k/flickr30k-images"), "grounding")
-_REGISTRY["flicker-train"] = _REGISTRY["flickr30k_train"]  # reference's key
+# reference's key resolves with the REFERENCE on-disk layout
+# (builtin.py:48: $ROOT/flickr30k-images + OpenSource/final_flickr_...)
+register("flicker-train",
+         partial(_refcoco, json_rel="OpenSource/final_flickr_separateGT_train.json",
+                 img_rel="flickr30k-images"), "grounding")
 
 # ---- video instance segmentation ----
 register("ytvis_2019_train",

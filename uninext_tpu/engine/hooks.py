@@ -169,16 +169,20 @@ class LRSchedulerHook(HookBase):
     recomputes it from the solver config for observability)."""
 
     def __init__(self, schedule_fn: Callable[[int], float], period: int = 20,
-                 base_lr: float = 1.0):
+                 base_lr: float = 1.0, accum_steps: int = 1):
         self.schedule_fn = schedule_fn  # relative multiplier (optimizer.py)
         self.base_lr = base_lr
         self.period = period
+        # schedule_fn is in optimizer-UPDATE units; the loop iterates
+        # micro-steps (accum_steps per update) — convert before lookup
+        self.accum_steps = max(1, accum_steps)
 
     def after_step(self, trainer, metrics: Dict):
         it = trainer.storage.iter
         if (it + 1) % self.period == 0:
             trainer.storage.put_scalars(
-                lr=self.base_lr * float(self.schedule_fn(it)))
+                lr=self.base_lr * float(self.schedule_fn(
+                    it // self.accum_steps)))
 
 
 class MemoryStatsHook(HookBase):
@@ -236,19 +240,26 @@ def default_hooks(cfg_solver, log_period: int = 20,
                   eval_period: int = 5000,
                   profile_iters: Optional[tuple] = None,
                   profile_dir: str = "./profile",
-                  schedule_fn: Optional[Callable] = None):
+                  schedule_fn: Optional[Callable] = None,
+                  accum_steps: int = 1):
     """The Trainer's standard hook stack, mirroring DefaultTrainer
-    .build_hooks (reference engine/defaults.py:340-380)."""
-    hooks = [IterationTimer(), PeriodicWriter(log_period),
-             PeriodicCheckpointer(cfg_solver.checkpoint_period)]
+    .build_hooks (reference engine/defaults.py:340-380).
+
+    log/checkpoint/eval periods are in optimizer-UPDATE units; with
+    grad accumulation (accum_steps=k) the loop iterates micro-steps, so
+    the periods are scaled by k here to keep their documented meaning."""
+    k = max(1, accum_steps)
+    hooks = [IterationTimer(), PeriodicWriter(log_period * k),
+             PeriodicCheckpointer(cfg_solver.checkpoint_period * k)]
     if schedule_fn is not None:
-        hooks.append(LRSchedulerHook(schedule_fn, log_period,
-                                     base_lr=cfg_solver.base_lr))
-    hooks.append(MemoryStatsHook(max(log_period * 5, 100)))
+        hooks.append(LRSchedulerHook(schedule_fn, log_period * k,
+                                     base_lr=cfg_solver.base_lr,
+                                     accum_steps=k))
+    hooks.append(MemoryStatsHook(max(log_period * k * 5, 100)))
     if profile_iters:
         hooks.append(ProfilerHook(profile_iters[0], profile_iters[1],
                                   profile_dir))
     if eval_fn is not None:
-        hooks.append(EvalHook(eval_period, eval_fn))
+        hooks.append(EvalHook(eval_period * k, eval_fn))
         hooks.append(BestCheckpointer())
     return hooks

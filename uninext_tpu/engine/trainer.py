@@ -60,8 +60,14 @@ class Trainer:
         self.eval_fn = eval_fn
         self.eval_period = eval_period
         self.log_period = log_period
+        # grad accumulation contract (config.py SolverConfig, docs/TRAIN.md):
+        # warmup_iters/steps/max_iter are in optimizer-UPDATE units; with
+        # grad_accum_steps=k the loop runs k micro-steps per update, so the
+        # loop length is max_iter*k micro-steps and every periodic hook's
+        # period is scaled by k to stay in update units.
+        self.accum = max(1, getattr(cfg.solver, "grad_accum_steps", 1))
         self.storage = EventStorage()
-        self.writers = [TerminalWriter(cfg.solver.max_iter),
+        self.writers = [TerminalWriter(cfg.solver.max_iter * self.accum),
                         JSONWriter(f"{output_dir}/metrics.json")]
         self.ckpt = CheckpointManager(f"{output_dir}/checkpoints")
         self.mesh = create_mesh(cfg.parallel.model_parallel_size) \
@@ -97,7 +103,7 @@ class Trainer:
             cfg.solver, log_period=log_period, eval_fn=eval_fn,
             eval_period=eval_period, profile_iters=profile_iters,
             profile_dir=self.profile_dir,
-            schedule_fn=lr_schedule(cfg.solver))
+            schedule_fn=lr_schedule(cfg.solver), accum_steps=self.accum)
         if extra_hooks:
             self.hooks.extend(extra_hooks)
 
@@ -128,7 +134,10 @@ class Trainer:
         data_iter = iter(self.loader)
         for h in self.hooks:
             h.before_train(self)
-        for it in range(start, cfg.max_iter):
+        # max_iter is in optimizer-update units; with grad_accum_steps=k the
+        # loop runs k micro-steps per update (optax MultiSteps applies the
+        # clipped AdamW update once per k). state.step counts micro-steps.
+        for it in range(start, cfg.max_iter * self.accum):
             self.storage.iter = it
             for h in self.hooks:
                 h.before_step(self)
