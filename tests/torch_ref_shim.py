@@ -137,6 +137,9 @@ def install_reference_shims():
                 return x / keep * mask
 
         layers.DropPath = DropPath
+        # reference convnext.py:13 / vit.py import this init helper; tests
+        # overwrite every weight afterwards, so route to torch's own
+        layers.trunc_normal_ = torch.nn.init.trunc_normal_
 
         class Mlp(nn.Module):
             """timm Mlp (fc1 -> act -> fc2), as used by reference Block."""

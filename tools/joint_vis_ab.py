@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_arm(spec, vis_paths, sot_paths, seed=0):
+def run_arm(spec, vis_paths, sot_paths, seed=0, eval_limit=None):
     """spec: "single@N" or "joint@N:r" -> result dict."""
     from _evidence_common import build_tiny_cfg, eval_sot_vos, eval_vis
     from uninext_tpu.data.loader import MultiDatasetLoader
@@ -95,10 +95,11 @@ def run_arm(spec, vis_paths, sot_paths, seed=0):
     res = eval_vis(trainer.model, p, cfg, vis_val, vis_paths["val_json"],
                    cats, 192, 256)
     import jax
-    out = {"spec": spec, "steps": steps,
+    out = {"spec": spec, "seed": seed, "steps": steps,
            "vis_steps_drawn": counts.get("detection", 0),
            "sot_steps_drawn": counts.get("sot", 0),
            "train_seconds": round(train_s, 1),
+           "n_val_videos": len(vis_val),
            "device": jax.devices()[0].platform,
            "vis_map": round(float(res["AP"]), 4),
            "vis_ap50": round(float(res["AP50"]), 4)}
@@ -118,6 +119,13 @@ def main():
     ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--arms", nargs="+",
                     default=["single@400", "single@1000", "joint@1334:0.75"])
+    ap.add_argument("--seeds", nargs="+", type=int, default=[0],
+                    help="data-order seeds; each arm runs once per seed "
+                         "(VERDICT r3 #6: >=2 seeds to resolve a ~15% "
+                         "effect)")
+    ap.add_argument("--val-videos", type=int, default=4,
+                    help="mini-YTVIS val size (VERDICT r3 #6 asks >=16)")
+    ap.add_argument("--train-videos", type=int, default=8)
     ap.add_argument("--out", default=os.path.join(REPO, "JOINTABRESULT.json"))
     ap.add_argument("--merge", action="store_true",
                     help="append to arms already recorded in --out (lets "
@@ -128,18 +136,23 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from uninext_tpu.data.mini_coco import make_mini_ytvis
-    # EXACTLY the datasets of real_joint_check.py (fixed seeds)
+    # EXACTLY the datasets of real_joint_check.py (fixed seeds), except the
+    # configurable train/val sizes
     vis_root = tempfile.mkdtemp(prefix="ab_vis_")
     sot_root = tempfile.mkdtemp(prefix="ab_sot_")
-    vis_paths = make_mini_ytvis(vis_root, length=6, max_objects=2)
+    vis_paths = make_mini_ytvis(vis_root, n_train=args.train_videos,
+                                n_val=args.val_videos, length=6,
+                                max_objects=2)
     sot_paths = make_mini_ytvis(sot_root, length=8, max_objects=1, seed=11)
 
-    results = [run_arm(s, vis_paths, sot_paths) for s in args.arms]
+    results = [run_arm(s, vis_paths, sot_paths, seed=seed)
+               for s in args.arms for seed in args.seeds]
     if args.merge and os.path.exists(args.out):
         with open(args.out) as f:
             prev = json.load(f).get("arms", [])
-        done = {r["spec"] for r in results}
-        results = [r for r in prev if r["spec"] not in done] + results
+        done = {(r["spec"], r.get("seed", 0)) for r in results}
+        results = [r for r in prev
+                   if (r["spec"], r.get("seed", 0)) not in done] + results
     payload = {
         "hypothesis": "joint VIS mAP tracks VIS exposure (routed VIS step "
                       "count), not cross-task interference",
@@ -147,12 +160,23 @@ def main():
                        "joint_800_at_0.5_jointresult": 0.1688},
         "arms": results,
     }
-    single = {r["spec"]: r for r in results if r["spec"].startswith("single")}
+
+    def _stats(rows):
+        vals = [r["vis_map"] for r in rows]
+        return {"mean": round(sum(vals) / len(vals), 4),
+                "min": min(vals), "max": max(vals), "n": len(vals)}
+
+    single = [r for r in results if r["spec"] == "single@1000"]
     joint = [r for r in results if r["spec"].startswith("joint")]
-    if "single@1000" in single and joint:
-        ratio = joint[-1]["vis_map"] / max(single["single@1000"]["vis_map"],
-                                           1e-9)
-        payload["joint_over_single_at_matched_exposure"] = round(ratio, 3)
+    if single and joint:
+        s, j = _stats(single), _stats(joint)
+        payload["single_at_1000"] = s
+        payload["joint_matched_exposure"] = j
+        payload["joint_over_single_at_matched_exposure"] = round(
+            j["mean"] / max(s["mean"], 1e-9), 3)
+        # does the seed/noise band of the two arms overlap?
+        payload["arms_overlap_within_noise"] = bool(
+            j["max"] >= s["min"] and s["max"] >= j["min"])
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
     print(f"[done] wrote {args.out}")

@@ -75,13 +75,25 @@ def main():
     payload = {"stages": {}}
 
     # ---- stage 1: detection pretrain (obj365 surrogate) ------------------
+    # Trains WITH BoxInst exactly like the reference stage 1
+    # (obj365v2_32g_r50.yaml:3-4 MODEL.BOXINST.ENABLED True): the mapper
+    # emits NO gt masks — only box bitmasks + LAB color similarity — and the
+    # mask head learns from the projection + pairwise losses alone. Warmup
+    # is scaled to the sandbox schedule so the pairwise term activates.
     s1_root = tempfile.mkdtemp(prefix="p3_obj365_")
     s1 = make_mini_coco(s1_root, seed=101)
     s1_train, s1_cats = load_coco_json(s1["train_json"], s1["train_root"])
+    s1_val, _ = load_coco_json(s1["val_json"], s1["val_root"])
     cfg_img = build_tiny_cfg(args.steps1, min_size=224, max_size=352)
-    m1 = UniDatasetMapper(cfg_img.data, s1_cats, tok, is_train=True,
-                          with_masks=True, lsj=True, lsj_size=224,
-                          lsj_min_scale=0.6, lsj_max_scale=1.4)
+    cfg_img = dataclasses.replace(
+        cfg_img, loss=dataclasses.replace(
+            cfg_img.loss, boxinst=True,
+            boxinst_warmup_iters=max(args.steps1 // 6, 20)))
+    m1 = UniDatasetMapper(
+        cfg_img.data, s1_cats, tok, is_train=True, with_masks=False,
+        boxinst=True,
+        boxinst_bottom_pixels=cfg_img.loss.boxinst_bottom_pixels_removed,
+        lsj=True, lsj_size=224, lsj_min_scale=0.6, lsj_max_scale=1.4)
     loader1 = MultiDatasetLoader([(s1_train, m1, 2)], [1.0], seed=0,
                                  num_workers=2)
     s1_out = tempfile.mkdtemp(prefix="p3_s1_out_")
@@ -92,11 +104,31 @@ def main():
     tr1.train()
     tr1.ckpt.save(int(tr1.state.step), tr1.state)   # hand-off artifact
     s1_s = time.time() - t0
-    print(f"[stage1] {args.steps1} pretrain steps in {s1_s:.0f}s -> "
-          f"{tr1.ckpt.directory}", flush=True)
+    # box-supervised mask quality: segm AP against the fixture's REAL gt
+    # masks, which the model never saw (it trained from boxes only)
+    eval_m1 = UniDatasetMapper(cfg_img.data, s1_cats, tok, is_train=False,
+                               with_masks=True)
+    _, _, cmap1 = create_label_token_map(s1_cats, tok,
+                                         cfg_img.data.max_text_len)
+    seg1 = DetectionEvaluator(tr1.model, cfg_img, cmap1,
+                              with_masks=True).evaluate(
+        tr1.state.params, s1_val, eval_m1, score_thr=0.05)
+    print(f"[stage1] {args.steps1} BoxInst pretrain steps in {s1_s:.0f}s -> "
+          f"{tr1.ckpt.directory}; box-supervised mask AP "
+          f"{seg1['AP']:.3f}", flush=True)
+    boxinst_payload = {
+        "enabled": True, "steps": args.steps1,
+        "warmup_iters": cfg_img.loss.boxinst_warmup_iters,
+        "supervision": "boxes only (box bitmasks + LAB pairwise); "
+                       "no gt masks seen in training",
+        "mask_ap_vs_real_gt_masks": round(float(seg1["AP"]), 4),
+        "train_seconds": round(s1_s, 1)}
     payload["stages"]["1_pretrain"] = {
         "steps": args.steps1, "train_seconds": round(s1_s, 1),
-        "dataset": "mini-obj365-surrogate (detection prompts)"}
+        "dataset": "mini-obj365-surrogate (detection prompts)",
+        "boxinst": boxinst_payload}
+    with open(os.path.join(REPO, "BOXINST_RESULT.json"), "w") as f:
+        json.dump(boxinst_payload, f, indent=1)
     del tr1  # keep only the on-disk checkpoint: the hand-off is real
 
     # ---- stage 2: image joint (detection + grounding), init from stage 1 -

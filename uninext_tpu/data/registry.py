@@ -389,6 +389,14 @@ def build_recipe(name: str, cfg, tokenizer=None):
     rows = recipe_fn()
     tok = tokenizer or BertTokenizer()
     video = any(r[5] is not None for r in rows)
+    # stage 1 trains with BoxInst box-supervised masks, exactly like the
+    # reference (obj365v2_32g_r50.yaml:3-4 MODEL.BOXINST.ENABLED True —
+    # obj365 has no gt masks, so the mask head learns from box projections
+    # + LAB pairwise terms)
+    boxinst = name == "obj365_pretrain"
+    if boxinst:
+        cfg = dataclasses.replace(
+            cfg, loss=dataclasses.replace(cfg.loss, boxinst=True))
     datasets, ratios = [], []
     for (ds_name, ratio, bs, min_sizes, max_size, frange) in rows:
         records, cats, ds_task = get_dataset(ds_name)
@@ -400,6 +408,11 @@ def build_recipe(name: str, cfg, tokenizer=None):
             # (builtin.py coco_2017_train_video; dataset_mapper_uni_vid.py:284)
             mapper = VideoPairMapper(dcfg, cats, tok,
                                      sampling_frame_range=frange or 1)
+        elif boxinst:
+            # box supervision replaces gt masks entirely
+            mapper = UniDatasetMapper(
+                dcfg, cats, tok, with_masks=False, boxinst=True,
+                boxinst_bottom_pixels=cfg.loss.boxinst_bottom_pixels_removed)
         else:
             mapper = UniDatasetMapper(dcfg, cats, tok)
         # per-batch train-step routing (reference dataset_source semantics):

@@ -145,23 +145,42 @@ def convert_vit(sd: Dict, tree: Dict, report: Dict,
         _set(tree, [dst_root, "up_res3", "bias"], np.tile(_t(b), 4), report)
 
 
+def _ln_convnext(sd, prefix, tree, path, report):
+    """The reference ConvNeXt's custom LayerNorm stores scale/bias as
+    nn.Embedding(1, dim) (backbone/convnext.py:175-176), so its state_dict
+    keys are `<norm>.weight.weight` / `<norm>.bias.weight` with shape
+    (1, dim). Accept that layout AND the standard `.weight`/`.bias` one
+    (pre-fork ConvNeXt checkpoints)."""
+    w = sd.get(prefix + ".weight")
+    if w is not None and w.ndim == 1:
+        _ln(sd, prefix, tree, path, report)
+        return
+    w = sd.get(prefix + ".weight.weight")
+    b = sd.get(prefix + ".bias.weight")
+    if w is not None:
+        _set(tree, path + ["scale"], _t(w).reshape(-1), report)
+    if b is not None:
+        _set(tree, path + ["bias"], _t(b).reshape(-1), report)
+
+
 def convert_convnext(sd: Dict, tree: Dict, report: Dict,
                      src_prefix: str = "detr.detr.backbone.0.backbone.",
                      dst_root: str = "backbone"):
     """Reference ConvNeXt (backbone/convnext.py:60-150) -> our tree:
     downsample_layers.0.{0,1} stem conv+norm; downsample_layers.i.{0,1}
     norm+conv (i>=1); stages.i.j.{dwconv,norm,pwconv1,pwconv2,gamma};
-    out norms norm{i} -> out_norm_res{i+2}. gamma is stored as an
-    nn.Embedding(1, dim) weight (convnext.py:37) -> our (dim,) param."""
+    out norms norm{i} -> out_norm_res{i+2}. gamma AND every custom
+    LayerNorm's scale/bias are stored as nn.Embedding(1, dim) weights
+    (convnext.py:37,175-176) -> our (dim,) params (_ln_convnext)."""
     if src_prefix + "downsample_layers.0.0.weight" not in sd:
         return
     _conv(sd, src_prefix + "downsample_layers.0.0", tree,
           [dst_root, "stem_conv"], report)
-    _ln(sd, src_prefix + "downsample_layers.0.1", tree,
-        [dst_root, "stem_norm"], report)
+    _ln_convnext(sd, src_prefix + "downsample_layers.0.1", tree,
+                 [dst_root, "stem_norm"], report)
     for i in range(1, 4):
-        _ln(sd, f"{src_prefix}downsample_layers.{i}.0", tree,
-            [dst_root, f"down_norm_{i}"], report)
+        _ln_convnext(sd, f"{src_prefix}downsample_layers.{i}.0", tree,
+                     [dst_root, f"down_norm_{i}"], report)
         _conv(sd, f"{src_prefix}downsample_layers.{i}.1", tree,
               [dst_root, f"down_conv_{i}"], report)
     for i in range(4):
@@ -170,15 +189,17 @@ def convert_convnext(sd: Dict, tree: Dict, report: Dict,
             bp = f"{src_prefix}stages.{i}.{j}."
             d = [dst_root, f"stage{i}_block{j}"]
             _conv(sd, bp + "dwconv", tree, d + ["dwconv"], report)
-            _ln(sd, bp + "norm", tree, d + ["norm"], report)
+            _ln_convnext(sd, bp + "norm", tree, d + ["norm"], report)
             _dense(sd, bp + "pwconv1", tree, d + ["pwconv1"], report)
             _dense(sd, bp + "pwconv2", tree, d + ["pwconv2"], report)
             g = sd.get(bp + "gamma.weight")
             if g is not None:
                 _set(tree, d + ["gamma"], _t(g).reshape(-1), report)
             j += 1
-        _ln(sd, f"{src_prefix}norm{i}", tree,
-            [dst_root, f"out_norm_res{i + 2}"], report)
+        # reference out-norms exist for stages 1-3 only (norm1..norm3,
+        # convnext.py:106-110); stage-0 output has no norm and is not used
+        _ln_convnext(sd, f"{src_prefix}norm{i}", tree,
+                     [dst_root, f"out_norm_res{i + 2}"], report)
 
 
 def _detect_bert_prefix(sd: Dict) -> str:

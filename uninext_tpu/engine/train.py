@@ -115,6 +115,10 @@ def make_train_step(model: UninextDETR, cfg: UninextConfig, task: str,
         targets = {k: v for k, v in batch["targets"].items()
                    if k != "has_masks"}
         targets["has_masks"] = has_masks
+        if cfg.loss.boxinst:
+            # pairwise-loss warmup reads the training step (the reference
+            # criterion counts its own forward calls, deformable_detr.py:521)
+            targets["step"] = state.step
 
         def loss_fn(params):
             losses = model.apply(

@@ -48,13 +48,20 @@ class ConvNeXt(nn.Module):
     drop_path_rate: float = 0.0
     in_channels: int = 3
     out_features: Sequence[str] = ("res3", "res4", "res5")
+    # D2ConvNeXt sets layer_scale_init_value=1.0 for every variant
+    # (reference backbone/convnext.py:203-218); the upstream ConvNeXt paper
+    # default 1e-6 makes blocks near-identity and cripples from-scratch
+    # training. Converted checkpoints overwrite gamma either way.
+    layer_scale_init: float = 1.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         x = x.astype(self.dtype)
+        # python-level constants (np, not jnp: this runs under trace)
+        import numpy as np
         dp_rates = [float(r) for r in
-                    jnp.linspace(0, self.drop_path_rate, sum(self.depths))]
+                    np.linspace(0, self.drop_path_rate, sum(self.depths))]
         cur = 0
         outs = {}
         for stage in range(4):
@@ -68,6 +75,7 @@ class ConvNeXt(nn.Module):
                             dtype=self.dtype, name=f"down_conv_{stage}")(x)
             for b in range(self.depths[stage]):
                 x = ConvNeXtBlock(self.dims[stage],
+                                  layer_scale_init=self.layer_scale_init,
                                   drop_path=dp_rates[cur + b],
                                   dtype=self.dtype,
                                   name=f"stage{stage}_block{b}")(
