@@ -380,7 +380,8 @@ def main():
                         ("SEGINW_RESULT.json", "seginw_zero_shot"),
                         ("BOXINST_RESULT.json", "boxinst_stage1"),
                         ("CONVNEXT_RESULT.json", "convnext_e2e"),
-                        ("RVOS_DIAG.json", "rvos_diagnosis")):
+                        ("RVOS_DIAG.json", "rvos_diagnosis"),
+                        ("VITH_TRAIN.json", "vith_train_feasibility")):
             p = os.path.join(here, fn)
             if os.path.exists(p):
                 with open(p) as f:

@@ -96,3 +96,25 @@ def test_clip_applies_to_averaged_grad():
     ref2_up, _ = tx1.update(clipped_each, tx1.init(params), params)
     assert not np.allclose(np.asarray(up["w"]), np.asarray(ref2_up["w"]),
                            rtol=1e-4)
+
+
+def test_adam_mu_dtype_bf16():
+    """SolverConfig.adam_mu_dtype='bfloat16' must store Adam's first moment
+    in bf16 (the single-chip ViT-H memory lever, docs/PERF.md) and keep the
+    update direction within bf16 tolerance of the f32 optimizer."""
+    params = {"w": jnp.asarray(np.linspace(-1, 1, 8), jnp.float32)}
+    tx16 = build_optimizer(_solver(adam_mu_dtype="bfloat16"), params)
+    tx32 = build_optimizer(_solver(), params)
+    s16, s32 = tx16.init(params), tx32.init(params)
+    mu16 = [x for x in jax.tree_util.tree_leaves(s16)
+            if hasattr(x, "dtype") and x.dtype == jnp.bfloat16]
+    assert mu16, "no bf16 moment buffers found"
+    mu32 = [x for x in jax.tree_util.tree_leaves(s32)
+            if hasattr(x, "dtype") and x.dtype == jnp.bfloat16]
+    assert not mu32, "f32 optimizer must not hold bf16 buffers"
+    g = _grad(params, jnp.eye(8, dtype=jnp.float32), jnp.zeros(8))
+    up16, _ = tx16.update(g, s16, params)
+    up32, _ = tx32.update(g, s32, params)
+    np.testing.assert_allclose(np.asarray(up16["w"], np.float32),
+                               np.asarray(up32["w"], np.float32),
+                               rtol=2e-2, atol=1e-6)

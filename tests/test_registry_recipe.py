@@ -74,14 +74,23 @@ def test_loader_mixes_datasets_with_per_dataset_batch_sizes(tmp_path):
 
 
 def test_train_recipes_table():
-    """TRAIN_RECIPES covers the 3 stages + 5 single-task runs
-    (assets/TRAIN.md, single_task_*.yaml) with registered dataset names."""
+    """TRAIN_RECIPES covers every reference training yaml: 3 stages x 3
+    backbones, 5 single-task runs, 2 SegInW checkpoints (configs/*.yaml
+    minus the eval-only ones)."""
     from uninext_tpu import config as config_mod
     known = set(registry.list_datasets())
     assert set(registry.TRAIN_RECIPES) == {
         "obj365_pretrain", "image_joint", "video_joint", "single_task_det",
         "single_task_rec", "single_task_vis", "single_task_sot",
-        "single_task_rvos"}
+        "single_task_rvos",
+        "obj365_pretrain_vit_huge", "obj365_pretrain_convnext",
+        "image_joint_vit_huge", "image_joint_convnext",
+        "video_joint_vit_huge", "video_joint_convnext",
+        "seginw", "seginw_vit_huge"}
+    # schedule parity for the one variant whose yaml overrides it
+    # (image_joint_vit_huge_32g.yaml: STEPS (40000,), MAX_ITER 48000)
+    assert registry.TRAIN_RECIPES["image_joint_vit_huge"][2] == \
+        (40000, 48000)
     for name, (base, recipe_fn, (step, max_iter), src) in \
             registry.TRAIN_RECIPES.items():
         assert hasattr(config_mod, base), base

@@ -167,3 +167,29 @@ def test_flash_concat_formulation_matches_xla_path(monkeypatch):
     attn = jax.nn.softmax(attn.astype(jnp.float32), -1)
     want = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(2, H, W, nh * hd)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_vit_block_remat_is_exact_and_differentiable():
+    """vit_use_checkpoint (reference MODEL.VIT.USE_CHECKPOINT, True in every
+    *vit_huge training yaml): remat must not change the forward and must
+    yield nonzero grads through every block."""
+    kw = dict(patch_size=16, embed_dim=32, depth=2, num_heads=2,
+              window_size=4, global_blocks=(1,), drop_path_rate=0.0,
+              pretrain_img_size=64, rel_pos_init_size=4, use_flash=False)
+    on = ViT(remat_blocks=True, **kw)
+    off = ViT(remat_blocks=False, **kw)
+    x = jnp.asarray(np.random.RandomState(6).randn(1, 64, 96, 3),
+                    jnp.float32)
+    params = on.init(jax.random.PRNGKey(0), x)
+    a, b = on.apply(params, x), off.apply(params, x)
+    for name in ("res3", "res4", "res5"):
+        np.testing.assert_allclose(np.asarray(a[name]), np.asarray(b[name]),
+                                   atol=1e-6)
+
+    def loss(p):
+        return sum(jnp.sum(v ** 2) for v in on.apply(p, x).values())
+
+    g = jax.grad(loss)(params)
+    norms = [float(jnp.abs(v).sum())
+             for v in jax.tree_util.tree_leaves(g["params"])]
+    assert all(n > 0 for n in norms if n == n)  # every leaf touched

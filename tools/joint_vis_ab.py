@@ -134,6 +134,12 @@ def main():
     if args.device == "cpu":
         import jax
         jax.config.update("jax_platforms", "cpu")
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".xla_cache"
+                                   if args.device == "tpu"
+                                   else ".xla_cache_cpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     from uninext_tpu.data.mini_coco import make_mini_ytvis
     # EXACTLY the datasets of real_joint_check.py (fixed seeds), except the

@@ -38,6 +38,9 @@ class BackboneConfig:
     # Pallas flash global attention with folded rel-pos bias; None = auto
     # (on for TPU backends, off for CPU/GPU — models/vit.py)
     vit_flash_attn: Optional[bool] = None
+    # gradient-checkpoint each ViT block (reference MODEL.VIT.USE_CHECKPOINT,
+    # True in every *vit_huge training yaml)
+    vit_use_checkpoint: bool = True
     # ConvNeXt specifics
     convnext_depths: Tuple[int, ...] = (3, 3, 27, 3)
     convnext_dims: Tuple[int, ...] = (192, 384, 768, 1536)
@@ -236,6 +239,11 @@ class SolverConfig:
     # warmup_iters/steps/max_iter stay in units of optimizer UPDATES; the
     # train loop then runs k micro-steps per update.
     grad_accum_steps: int = 1
+    # dtype of Adam's first moment (optax mu_dtype); None = param dtype
+    # (f32). "bfloat16" halves the m buffer — the single-chip memory lever
+    # for ViT-H's two-tower 1.3B-param stage 3 (docs/PERF.md ViT-H
+    # feasibility); multi-chip runs shard the state instead and keep f32.
+    adam_mu_dtype: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -307,6 +315,26 @@ def image_joint_convnext_large() -> UninextConfig:
         backbone=BackboneConfig(name="convnext_large",
                                 out_channels=(384, 768, 1536),
                                 drop_path_rate=0.7))
+
+
+def video_joint_convnext_large() -> UninextConfig:
+    """ConvNeXt-Large stage-3 variant (reference
+    configs/video_joint_convnext_large.yaml: _BASE_ video_joint_r50 +
+    D2ConvNeXt, init from image_joint_convnext_large model_final_4c)."""
+    return dataclasses.replace(
+        video_joint_r50(),
+        backbone=BackboneConfig(name="convnext_large",
+                                out_channels=(384, 768, 1536),
+                                drop_path_rate=0.7))
+
+
+def image_joint_vit_huge() -> UninextConfig:
+    """ViT-Huge stage-2 variant (reference configs/image_joint_vit_huge_32g:
+    D2ViT 'ViT-huge' + USE_CHECKPOINT True over the image-joint recipe)."""
+    return dataclasses.replace(
+        image_joint_r50(),
+        backbone=BackboneConfig(name="vit_huge",
+                                out_channels=(640, 1280, 1280)))
 
 
 def video_joint_vit_huge() -> UninextConfig:

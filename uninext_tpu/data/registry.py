@@ -363,6 +363,34 @@ TRAIN_RECIPES = {
                          lambda: _single({"rvos-refcoco-mixed",
                                           "rvos-refytb-train"}),
                          (75000, 90000), "single_task_det + inflate4c"),
+    # backbone variants: same dataset recipes, the reference's own preset +
+    # schedule per yaml (obj365v2_32g_{vit_huge,convnext_large}.yaml and
+    # {image,video}_joint_{vit_huge*,convnext_large}.yaml inherit the r50
+    # schedules except image ViT-H's 40000/48000)
+    "obj365_pretrain_vit_huge": ("image_joint_vit_huge",
+                                 obj365_pretrain_recipe,
+                                 (312346, 340741), "MAE ViT-H p14->16"),
+    "obj365_pretrain_convnext": ("image_joint_convnext_large",
+                                 obj365_pretrain_recipe,
+                                 (312346, 340741), "convnext_large_22k_1k"),
+    "image_joint_vit_huge": ("image_joint_vit_huge", image_joint_recipe,
+                             (40000, 48000), "obj365_pretrain_vit_huge"),
+    "image_joint_convnext": ("image_joint_convnext_large",
+                             image_joint_recipe,
+                             (76658, 91990), "obj365_pretrain_convnext"),
+    "video_joint_vit_huge": ("video_joint_vit_huge", video_joint_recipe,
+                             (150000, 180000),
+                             "image_joint_vit_huge + inflate4c"),
+    "video_joint_convnext": ("video_joint_convnext_large",
+                             video_joint_recipe, (150000, 180000),
+                             "image_joint_convnext + inflate4c"),
+    # SegInW zero-shot checkpoints (seginw_{r50,vit_huge}.yaml): the image
+    # joint recipe trained from the obj365 pretrain, evaluated zero-shot on
+    # the 25 seginw/* splits (tools/eval_seginw.py)
+    "seginw": ("image_joint_r50", image_joint_recipe,
+               (76658, 91990), "obj365_pretrain"),
+    "seginw_vit_huge": ("image_joint_vit_huge", image_joint_recipe,
+                        (40000, 48000), "obj365_pretrain_vit_huge"),
 }
 
 

@@ -72,8 +72,10 @@ def build_optimizer(cfg: SolverConfig, params) -> optax.GradientTransformation:
     def make(lr):
         if lr == 0.0:
             return optax.set_to_zero()
+        mu_dtype = getattr(cfg, "adam_mu_dtype", None)
         return optax.chain(
-            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8,
+                                mu_dtype=mu_dtype),
             optax.add_decayed_weights(cfg.weight_decay),
             optax.scale_by_schedule(lambda s: -lr * sched(s)),
         )

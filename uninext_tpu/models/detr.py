@@ -227,6 +227,7 @@ class UninextDETR(nn.Module):
                     drop_path_rate=c.backbone.vit_drop_path_rate,
                     global_q_chunk_rows=c.backbone.vit_global_q_rows,
                     use_flash=c.backbone.vit_flash_attn,
+                    remat_blocks=c.backbone.vit_use_checkpoint,
                     in_channels=in_channels,
                     dtype=dtype, name=name)
             else:

@@ -334,6 +334,10 @@ class ViT(nn.Module):
     global_q_chunk_rows: int = 8         # 0 disables q-chunked global attn
     # None = auto: Pallas flash global attention on TPU, XLA path elsewhere
     use_flash: Optional[bool] = None
+    # rematerialize each block in backward: the reference trains ViT-H with
+    # MODEL.VIT.USE_CHECKPOINT True (backbone/vit.py:381, every *vit_huge
+    # yaml); at ViT-H scale the 32 blocks' activations dominate training HBM
+    remat_blocks: bool = True
     in_channels: int = 3
     out_features: Sequence[str] = ("res3", "res4", "res5")
     dtype: Any = jnp.float32
@@ -375,17 +379,21 @@ class ViT(nn.Module):
         if mesh is not None and "model" in mesh.axis_names \
                 and dict(mesh.shape).get("model", 1) > 1:
             flash = False
+        # same convention as transformer.py:240 — deterministic is static
+        blk_cls = (nn.remat(ViTBlock, static_argnums=(2,),
+                            prevent_cse=False)
+                   if self.remat_blocks else ViTBlock)
         for i in range(self.depth):
             is_global = self._is_global(i)
-            x = ViTBlock(self.embed_dim, self.num_heads,
-                         0 if is_global else self.window_size,
-                         rel_pos_size=(self.rel_pos_init_size if is_global
-                                       else self.window_size),
-                         drop_path_rate=float(dpr[i]),
-                         q_chunk_rows=self.global_q_chunk_rows,
-                         use_flash=flash,
-                         dtype=self.dtype, name=f"block_{i}")(
-                             x, deterministic)
+            x = blk_cls(self.embed_dim, self.num_heads,
+                        0 if is_global else self.window_size,
+                        rel_pos_size=(self.rel_pos_init_size if is_global
+                                      else self.window_size),
+                        drop_path_rate=float(dpr[i]),
+                        q_chunk_rows=self.global_q_chunk_rows,
+                        use_flash=flash,
+                        dtype=self.dtype, name=f"block_{i}")(
+                            x, deterministic)
 
         outs = {}
         # simple multi-scale heads (ViTDet): res3 = 2x up, res4 = 1x, res5 = /2
