@@ -164,6 +164,13 @@ def main():
                       "count), not cross-task interference",
         "r2_anchors": {"single_1000_visresult": 0.4544,
                        "joint_800_at_0.5_jointresult": 0.1688},
+        "protocol": {"n_val_videos": args.val_videos,
+                     "n_train_videos": args.train_videos,
+                     "seeds": sorted({r.get("seed", 0) for r in results}),
+                     "note": "VERDICT r3 #6 protocol: val grown 4->16 "
+                             "videos, >=2 data-order seeds per arm, "
+                             "matched VIS exposure (~1000 routed VIS "
+                             "steps in both arms)"},
         "arms": results,
     }
 
@@ -181,8 +188,31 @@ def main():
         payload["joint_over_single_at_matched_exposure"] = round(
             j["mean"] / max(s["mean"], 1e-9), 3)
         # does the seed/noise band of the two arms overlap?
-        payload["arms_overlap_within_noise"] = bool(
-            j["max"] >= s["min"] and s["max"] >= j["min"])
+        overlap = bool(j["max"] >= s["min"] and s["max"] >= j["min"])
+        payload["arms_overlap_within_noise"] = overlap
+        ratio = payload["joint_over_single_at_matched_exposure"]
+        if overlap:
+            payload["conclusion"] = (
+                f"joint ~= single within seed noise at matched VIS exposure "
+                f"(ratio {ratio}, seed bands overlap): the r2 regression was "
+                f"exposure, and the mixture ratio (the reference's "
+                f"DATASET_RATIO lever) is the fix.")
+        else:
+            payload["conclusion"] = (
+                f"REVISES r3: at matched VIS exposure joint VIS mAP is "
+                f"{ratio}x single and the seed bands do NOT overlap "
+                f"(single [{s['min']}, {s['max']}] vs joint [{j['min']}, "
+                f"{j['max']}]) — on this better-powered protocol the "
+                f"residual is real cross-task interference at toy scale "
+                f"(few-M-param trunk, 8 train videos), not just exposure. "
+                f"Exposure remains the DOMINANT term (r2's 0.37x at halved "
+                f"exposure vs {ratio}x matched), and the production lever "
+                f"is unchanged: the reference trains joint at 32-GPU scale "
+                f"where capacity/data dwarf the toy-scale competition; the "
+                f"r3 'within noise' call was an artifact of the 4-video "
+                f"val. The capstone's higher absolute joint numbers "
+                f"(JOINTRESULT.json) compare different data/mixtures and "
+                f"must not be read as joint>single evidence.")
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
     print(f"[done] wrote {args.out}")
