@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--out", default=os.path.join(REPO, "VISRESULT.json"))
     ap.add_argument("--data-root", default=None)
+    ap.add_argument("--n-val", type=int, default=16,
+                    help="mini-YTVIS val size (round 4: the powered "
+                         "protocol of JOINTABRESULT; earlier rounds "
+                         "used 4)")
     ap.add_argument("--flagship", action="store_true",
                     help="train the real video_joint_r50 stage-3 preset; "
                          "result recorded under VISRESULT.json['flagship']")
@@ -72,7 +76,7 @@ def main():
     from uninext_tpu.engine.trainer import Trainer
 
     root = args.data_root or tempfile.mkdtemp(prefix="mini_ytvis_")
-    paths = make_mini_ytvis(root)
+    paths = make_mini_ytvis(root, n_val=args.n_val)
     print(f"[data] mini-ytvis at {root}")
 
     cfg = (flagship_cfg(args.steps) if args.flagship else
