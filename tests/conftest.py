@@ -36,6 +36,7 @@ _HEAVY_FILES = {
     "test_registry_recipe.py", "test_vit_parity.py", "test_sot.py",
     "test_vis_driver.py", "test_real_format_outputs.py", "test_tools_cli.py",
     "test_bert_parity.py", "test_msda.py", "test_convert_scan.py",
+    "test_sp_serving.py",
 }
 
 

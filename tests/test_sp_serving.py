@@ -1,0 +1,106 @@
+"""Sequence-parallel SERVING parity (multi-chip image-config serving).
+
+docs/PERF.md's round-4 serving accounting concludes the 800px image-config
+frame is gather-emitter-bound on ONE chip and names sp_encoder sequence
+parallelism as the multi-chip exit. Until round 4 only the TRAIN step had
+ever run under an sp mesh; this file validates the claim for the path that
+actually serves: the same inference graph bench.py times, jitted over a
+(1 dp x 4 sp) mesh with encoder tokens sharded over "model", must produce
+the single-device outputs (GSPMD inserts the collectives; sharding the
+query axis of the MSDA gathers does not change any per-query math).
+
+The reference serves strictly single-GPU bs=1 (detectron2 data/build.py:219
+hardwires the test loader batch size) — multi-chip serving is TPU-native
+added capability, not a port requirement.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from test_model import small_cfg, T
+from uninext_tpu.models.detr import UninextDETR
+from uninext_tpu.parallel.mesh import create_mesh
+
+H, W = 64, 96
+
+
+def make_serve_batch(seed=0):
+    rng = np.random.RandomState(seed)
+    images = jnp.array(rng.randn(1, H, W, 3), jnp.float32)
+    img_mask = np.zeros((1, H, W), bool)
+    img_mask[0, 56:, :] = True
+    image_sizes = jnp.array([[56, W]], jnp.int32)
+    text_ids = jnp.array(rng.randint(0, 1000, (1, T)), jnp.int32)
+    text_mask = np.zeros((1, T), np.int32)
+    text_mask[:, :10] = 1
+    return images, jnp.array(img_mask), image_sizes, text_ids, jnp.array(
+        text_mask)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_sp_serving_parity():
+    cfg = small_cfg()
+    batch = make_serve_batch()
+
+    # single-device reference run (sp off, no mesh)
+    model = UninextDETR(cfg)
+    params = model.init({"params": jax.random.PRNGKey(0)}, *batch,
+                        task="detection", train=False)
+    ref = jax.jit(lambda p, *b: model.apply(p, *b, task="detection",
+                                            train=False))(params, *batch)
+
+    # the same params + inputs through the sp graph on a 1dp x 4sp mesh
+    mesh = create_mesh(4, devices=jax.devices()[:4])
+    cfg_sp = dataclasses.replace(
+        cfg, transformer=dataclasses.replace(cfg.transformer,
+                                             sp_encoder=True))
+    model_sp = UninextDETR(cfg_sp)
+    with jax.set_mesh(mesh):
+        fn = jax.jit(lambda p, *b: model_sp.apply(
+            p, *b, task="detection", train=False))
+        lowered = fn.lower(params, *batch)
+        hlo = lowered.compile().as_text()
+        # the constraint must actually shard: GSPMD has to materialize at
+        # least one collective to re-assemble the full token table for the
+        # next layer's gathers / the decoder
+        assert any(op in hlo for op in
+                   ("all-gather", "all-reduce", "collective-permute",
+                    "all-to-all")), "sp graph compiled with no collectives"
+        out = fn(params, *batch)
+
+    for k in ("pred_logits", "pred_boxes", "pred_boxious", "hs", "memory"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"sp serving diverged on {k}")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sp_serving_parity_8way():
+    """8-way sp: the token axis (HW/64 + HW/256 + ... levels) is not a
+    multiple of 8 for this fixture, so this also covers GSPMD's uneven
+    shard padding on the constraint."""
+    cfg = small_cfg()
+    batch = make_serve_batch(seed=3)
+    model = UninextDETR(cfg)
+    params = model.init({"params": jax.random.PRNGKey(1)}, *batch,
+                        task="detection", train=False)
+    ref = jax.jit(lambda p, *b: model.apply(p, *b, task="detection",
+                                            train=False))(params, *batch)
+
+    mesh = create_mesh(8, devices=jax.devices()[:8])
+    cfg_sp = dataclasses.replace(
+        cfg, transformer=dataclasses.replace(cfg.transformer,
+                                             sp_encoder=True))
+    model_sp = UninextDETR(cfg_sp)
+    with jax.set_mesh(mesh):
+        out = jax.jit(lambda p, *b: model_sp.apply(
+            p, *b, task="detection", train=False))(params, *batch)
+    np.testing.assert_allclose(np.asarray(out["pred_boxes"]),
+                               np.asarray(ref["pred_boxes"]),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["pred_logits"]),
+                               np.asarray(ref["pred_logits"]),
+                               rtol=2e-4, atol=2e-5)
