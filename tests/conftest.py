@@ -16,11 +16,29 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # persistent XLA compile cache: the heavy model tests are compile-bound on
-# CPU; caching executables across runs cuts suite wall time dramatically
+# CPU; caching executables across runs cuts suite wall time dramatically.
+# The dir is keyed by the host's CPU feature set: XLA:CPU caches AOT machine
+# code, and an executable compiled on one microarchitecture (e.g. an
+# AMX-capable host) aborts the process (SIGILL/SIGABRT) when another host
+# loads it — observed in round 4 when the sandbox moved machines between
+# sessions while sharing this repo's disk.
+def _cpu_cache_tag():
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:8]
+
+
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".xla_cache_cpu"))
+                 f".xla_cache_cpu-{_cpu_cache_tag()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 

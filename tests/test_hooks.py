@@ -146,3 +146,21 @@ def test_checkpoint_manager_idempotent_per_step(tmp_path):
     mgr.save(3, state)
     mgr.save(3, state)  # periodic + final at the same iter: must not raise
     assert mgr.latest_step() == 3
+
+
+def test_tensorboard_writer_emits_event_file(tmp_path):
+    """TensorBoardWriter parity with the reference's TensorboardXWriter
+    (detectron2/utils/events.py:131): scalars land in an event file."""
+    from uninext_tpu.engine.events import (TensorBoardWriter,
+                                           tensorboard_available)
+    if not tensorboard_available():
+        import pytest
+        pytest.skip("tensorboard not in image")
+    st = EventStorage()
+    st.put_scalars(total_loss=1.5, lr=1e-4)
+    st.iter = 7
+    w = TensorBoardWriter(str(tmp_path))
+    w.write(st)
+    w.close()
+    files = list(tmp_path.glob("events.out.tfevents.*"))
+    assert files and files[0].stat().st_size > 0

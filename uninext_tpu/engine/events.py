@@ -1,9 +1,10 @@
 """Metrics storage + writers (terminal, metrics.json).
 
-Parity: detectron2 EventStorage / CommonMetricPrinter / JSONWriter
-(detectron2/utils/events.py:50,181,274). Median smoothing over a window for
-terminal output, raw scalars appended per-iteration to metrics.json.
-TensorBoard is gated on tensorboardX availability (absent in this image).
+Parity: detectron2 EventStorage / CommonMetricPrinter / JSONWriter /
+TensorboardXWriter (detectron2/utils/events.py:50,131,181,274). Median
+smoothing over a window for terminal output, raw scalars appended
+per-iteration to metrics.json; TensorBoardWriter is gated on
+torch.utils.tensorboard availability (present in this image via torch-cpu).
 """
 from __future__ import annotations
 
@@ -48,6 +49,34 @@ class JSONWriter:
 
     def close(self):
         self._f.close()
+
+
+class TensorBoardWriter:
+    """Scalars to TensorBoard event files (reference TensorboardXWriter,
+    detectron2/utils/events.py:131). Uses torch.utils.tensorboard; if the
+    import fails the constructor raises ImportError — callers gate on
+    `tensorboard_available()`."""
+
+    def __init__(self, log_dir: str, window_size: int = 20):
+        from torch.utils.tensorboard import SummaryWriter
+        os.makedirs(log_dir, exist_ok=True)
+        self._w = SummaryWriter(log_dir)
+        self._window = window_size
+
+    def write(self, storage: EventStorage):
+        for k, v in storage.latest().items():
+            self._w.add_scalar(k, v, storage.iter)
+
+    def close(self):
+        self._w.close()
+
+
+def tensorboard_available() -> bool:
+    try:
+        from torch.utils.tensorboard import SummaryWriter  # noqa: F401
+        return True
+    except Exception:
+        return False
 
 
 class TerminalWriter:

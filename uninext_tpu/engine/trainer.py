@@ -17,7 +17,8 @@ import numpy as np
 from ..config import UninextConfig
 from ..parallel.mesh import create_mesh
 from .checkpoint import CheckpointManager
-from .events import EventStorage, JSONWriter, TerminalWriter
+from .events import (EventStorage, JSONWriter, TensorBoardWriter,
+                     TerminalWriter, tensorboard_available)
 from .train import (TrainState, create_train_state, create_video_train_state,
                     make_train_step, make_video_train_step)
 
@@ -69,6 +70,11 @@ class Trainer:
         self.storage = EventStorage()
         self.writers = [TerminalWriter(cfg.solver.max_iter * self.accum),
                         JSONWriter(f"{output_dir}/metrics.json")]
+        # TensorBoard like the reference's default writer set
+        # (detectron2/engine/defaults.py build_writers); gated so a stripped
+        # image degrades to terminal+json instead of failing
+        if tensorboard_available():
+            self.writers.append(TensorBoardWriter(f"{output_dir}/tb"))
         self.ckpt = CheckpointManager(f"{output_dir}/checkpoints")
         self.mesh = create_mesh(cfg.parallel.model_parallel_size) \
             if use_mesh else None
