@@ -17,28 +17,17 @@ jax.config.update("jax_platforms", "cpu")
 
 # persistent XLA compile cache: the heavy model tests are compile-bound on
 # CPU; caching executables across runs cuts suite wall time dramatically.
-# The dir is keyed by the host's CPU feature set: XLA:CPU caches AOT machine
-# code, and an executable compiled on one microarchitecture (e.g. an
-# AMX-capable host) aborts the process (SIGILL/SIGABRT) when another host
-# loads it — observed in round 4 when the sandbox moved machines between
-# sessions while sharing this repo's disk.
-def _cpu_cache_tag():
-    import hashlib
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:8]
-    except OSError:
-        pass
-    import platform
-    return hashlib.sha1(platform.processor().encode()).hexdigest()[:8]
+# Keying rationale (cross-host SIGILL/SIGABRT hazard) lives with the shared
+# helper in uninext_tpu/utils/cache_key.py (ADVICE r4 dedupe).
+import sys  # noqa: E402
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from uninext_tpu.utils.cache_key import cache_tag  # noqa: E402
 
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 f".xla_cache_cpu-{_cpu_cache_tag()}"))
+                 f".xla_cache_cpu-{cache_tag('cpu')}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 

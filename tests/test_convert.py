@@ -86,3 +86,37 @@ def test_convert_lands_values(param_tree):
     np.testing.assert_allclose(
         tr["transformer"]["decoder_layer_0"]["self_attn"]["q_proj"]["kernel"],
         wq_expected)
+
+
+def test_hash_vocab_refuses_converted_bert(tmp_path, monkeypatch):
+    """load_torch_checkpoint must HARD-ERROR when a checkpoint carries a
+    BERT word-embedding table but only the hash-vocab tokenizer is
+    available (VERDICT r4 #8; divergence #4 in docs/PARITY.md)."""
+    import torch
+
+    from uninext_tpu.engine.convert import (_require_real_vocab_for,
+                                            load_torch_checkpoint)
+
+    monkeypatch.delenv("UNINEXT_BERT_VOCAB", raising=False)
+    monkeypatch.delenv("UNINEXT_ALLOW_HASH_VOCAB", raising=False)
+    sd = {"text_encoder.body.model.embeddings.word_embeddings.weight":
+          torch.zeros(30522, 768)}
+    path = tmp_path / "ckpt.pth"
+    torch.save(sd, str(path))
+    with pytest.raises(RuntimeError, match="vocab"):
+        load_torch_checkpoint(str(path), {"params": {}})
+
+    # escape hatch for synthetic fixtures
+    monkeypatch.setenv("UNINEXT_ALLOW_HASH_VOCAB", "1")
+    _require_real_vocab_for(sd)                        # no raise
+
+    # a real vocab file also satisfies the gate
+    monkeypatch.delenv("UNINEXT_ALLOW_HASH_VOCAB", raising=False)
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "the"]))
+    monkeypatch.setenv("UNINEXT_BERT_VOCAB", str(vocab))
+    _require_real_vocab_for(sd)                        # no raise
+
+    # checkpoints WITHOUT a language tower never trip the gate
+    monkeypatch.delenv("UNINEXT_BERT_VOCAB", raising=False)
+    _require_real_vocab_for({"detr.detr.backbone.0.x": None})

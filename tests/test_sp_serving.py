@@ -27,12 +27,12 @@ from uninext_tpu.parallel.mesh import create_mesh
 H, W = 64, 96
 
 
-def make_serve_batch(seed=0):
+def make_serve_batch(seed=0, h=H, w=W):
     rng = np.random.RandomState(seed)
-    images = jnp.array(rng.randn(1, H, W, 3), jnp.float32)
-    img_mask = np.zeros((1, H, W), bool)
-    img_mask[0, 56:, :] = True
-    image_sizes = jnp.array([[56, W]], jnp.int32)
+    images = jnp.array(rng.randn(1, h, w, 3), jnp.float32)
+    img_mask = np.zeros((1, h, w), bool)
+    img_mask[0, h - 8:, :] = True
+    image_sizes = jnp.array([[h - 8, w]], jnp.int32)
     text_ids = jnp.array(rng.randint(0, 1000, (1, T)), jnp.int32)
     text_mask = np.zeros((1, T), np.int32)
     text_mask[:, :10] = 1
@@ -79,11 +79,13 @@ def test_sp_serving_parity():
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sp_serving_parity_8way():
-    """8-way sp: the token axis (HW/64 + HW/256 + ... levels) is not a
-    multiple of 8 for this fixture, so this also covers GSPMD's uneven
-    shard padding on the constraint."""
+    """8-way sp with an UNEVEN token axis: 64x80 gives 80+20+6+2 = 108
+    encoder tokens (asserted on the actual memory below), not a multiple of
+    8, so this genuinely covers GSPMD's uneven shard padding on the
+    constraint. (ADVICE r4: the previous 64x96 fixture had exactly 128
+    tokens — divisible by 8 — and the docstring's padding claim was false.)"""
     cfg = small_cfg()
-    batch = make_serve_batch(seed=3)
+    batch = make_serve_batch(seed=3, h=64, w=80)
     model = UninextDETR(cfg)
     params = model.init({"params": jax.random.PRNGKey(1)}, *batch,
                         task="detection", train=False)
@@ -95,9 +97,18 @@ def test_sp_serving_parity_8way():
         cfg, transformer=dataclasses.replace(cfg.transformer,
                                              sp_encoder=True))
     model_sp = UninextDETR(cfg_sp)
+    from jax.sharding import NamedSharding, PartitionSpec as P
     with jax.set_mesh(mesh):
-        out = jax.jit(lambda p, *b: model_sp.apply(
-            p, *b, task="detection", train=False))(params, *batch)
+        # replicated out_shardings: with the uneven token axis GSPMD picks a
+        # padded tiled layout jax's NamedSharding recovery can't express
+        # (ValueError in _gspmd_to_named_sharding_via_mesh); pinning the
+        # outputs sidesteps recovery without weakening the parity claim
+        out = jax.jit(
+            lambda p, *b: model_sp.apply(p, *b, task="detection",
+                                         train=False),
+            out_shardings=NamedSharding(mesh, P()))(params, *batch)
+        assert out["memory"].shape[1] % 8 != 0, (
+            "fixture must exercise uneven GSPMD shard padding")
     np.testing.assert_allclose(np.asarray(out["pred_boxes"]),
                                np.asarray(ref["pred_boxes"]),
                                rtol=2e-4, atol=2e-5)

@@ -504,11 +504,40 @@ def jax_tree_to_numpy(params):
     return jax.tree.map(np.asarray, params)
 
 
+def _require_real_vocab_for(sd: Dict) -> None:
+    """HARD error when reference-converted BERT weights meet the hash-vocab
+    tokenizer (documented divergence #4, docs/PARITY.md).
+
+    The reference tokenizes with bert-base-uncased's vocab.txt
+    (bert_model.py:10-31); our BertTokenizer silently falls back to a
+    deterministic hash vocab when no vocab file is supplied — fine for
+    training from scratch, but a checkpoint whose word-embedding table was
+    trained against the REAL vocab would silently mis-tokenize every
+    prompt. Refusing here (VERDICT r4 #8) makes that failure impossible.
+    Escape hatch for synthetic fixtures: UNINEXT_ALLOW_HASH_VOCAB=1."""
+    import os
+    if os.environ.get("UNINEXT_ALLOW_HASH_VOCAB") == "1":
+        return
+    probe = "embeddings.word_embeddings.weight"
+    if not any(k.endswith(probe) for k in sd):
+        return                      # no language tower in this checkpoint
+    from ..data.tokenizer import BertTokenizer
+    if BertTokenizer().vocab is None:
+        raise RuntimeError(
+            "This checkpoint carries a BERT word-embedding table trained "
+            "against a real WordPiece vocab, but no vocab.txt is available "
+            "— the hash-vocab fallback would silently mis-tokenize every "
+            "prompt. Supply bert-base-uncased vocab.txt via the "
+            "UNINEXT_BERT_VOCAB env var (see docs/DATA.md), or set "
+            "UNINEXT_ALLOW_HASH_VOCAB=1 only for synthetic fixtures.")
+
+
 def load_torch_checkpoint(path: str, params: Dict) -> Dict:
     import torch
     sd = torch.load(path, map_location="cpu")
     if "model" in sd:
         sd = sd["model"]
+    _require_real_vocab_for(sd)
     new_params, report = convert_checkpoint(sd, params)
     print(f"[convert] loaded {report['loaded']} tensors; "
           f"{len(report['missing_target'])} unresolved, "

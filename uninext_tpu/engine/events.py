@@ -21,6 +21,7 @@ class EventStorage:
         self._history: Dict[str, deque] = defaultdict(
             lambda: deque(maxlen=window_size))
         self._latest: Dict[str, float] = {}
+        self._latest_iter: Dict[str, int] = {}
         self.iter = 0
 
     def put_scalars(self, **scalars):
@@ -28,6 +29,7 @@ class EventStorage:
             v = float(v)
             self._history[k].append(v)
             self._latest[k] = v
+            self._latest_iter[k] = self.iter
 
     def median(self, key: str) -> float:
         vals = sorted(self._history[key])
@@ -35,6 +37,10 @@ class EventStorage:
 
     def latest(self) -> Dict[str, float]:
         return dict(self._latest)
+
+    def latest_iter(self, key: str) -> int:
+        """Iteration at which `key` was last put (for stale-scalar skipping)."""
+        return self._latest_iter.get(key, -1)
 
 
 class JSONWriter:
@@ -62,12 +68,21 @@ class TensorBoardWriter:
         os.makedirs(log_dir, exist_ok=True)
         self._w = SummaryWriter(log_dir)
         self._window = window_size
+        # per-key last-written put-iteration (reference TensorboardXWriter
+        # events.py:150-156): a scalar that hasn't been updated since the
+        # last write is NOT re-emitted at the new iter, so stale values
+        # never appear as fresh points on the curve.
+        self._last_write: Dict[str, int] = {}
 
     def write(self, storage: EventStorage):
         for k, v in storage.latest().items():
-            self._w.add_scalar(k, v, storage.iter)
+            put_iter = storage.latest_iter(k)
+            if self._last_write.get(k, -1) < put_iter:
+                self._w.add_scalar(k, v, put_iter)
+                self._last_write[k] = put_iter
 
     def close(self):
+        self._w.flush()
         self._w.close()
 
 

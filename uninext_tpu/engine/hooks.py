@@ -95,8 +95,14 @@ class PeriodicWriter(HookBase):
                 w.write(trainer.storage)
 
     def after_train(self, trainer):
+        # final write THEN close: SummaryWriter buffers asynchronously
+        # (flush_secs=120) and events since the last auto-flush are lost if
+        # the process exits without close() (ADVICE r4).
         for w in trainer.writers:
             w.write(trainer.storage)
+            close = getattr(w, "close", None)
+            if close is not None:
+                close()
 
 
 class PeriodicCheckpointer(HookBase):
