@@ -38,7 +38,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_arm(spec, vis_paths, sot_paths, seed=0, eval_limit=None):
-    """spec: "single@N" or "joint@N:r" -> result dict."""
+    """spec: "single@N" or "joint@N:r[:s]" (r = VIS mixture ratio —
+    DATASET_RATIO semantics; optional s = sot_loss_scale, the round-5
+    interference-mitigation lever) -> result dict."""
+    import dataclasses
+
     from _evidence_common import build_tiny_cfg, eval_sot_vos, eval_vis
     from uninext_tpu.data.loader import MultiDatasetLoader
     from uninext_tpu.data.tokenizer import BertTokenizer
@@ -46,15 +50,20 @@ def run_arm(spec, vis_paths, sot_paths, seed=0, eval_limit=None):
     from uninext_tpu.engine.trainer import Trainer
 
     kind, rest = spec.split("@")
-    ratio = 0.5
-    if ":" in rest:
-        steps, ratio = rest.split(":")
-        steps, ratio = int(steps), float(ratio)
-    else:
-        steps = int(rest)
+    ratio, sot_scale = 0.5, 1.0
+    parts = rest.split(":")
+    steps = int(parts[0])
+    if len(parts) > 1:
+        ratio = float(parts[1])
+    if len(parts) > 2:
+        sot_scale = float(parts[2])
 
     tok = BertTokenizer()
     cfg = build_tiny_cfg(steps, frame_range=7, use_reid=True)
+    if sot_scale != 1.0:
+        cfg = dataclasses.replace(
+            cfg, loss=dataclasses.replace(cfg.loss,
+                                          sot_loss_scale=sot_scale))
     vis_train, cats = load_ytvis_json(vis_paths["train_json"],
                                       vis_paths["train_root"])
     vis_val, _ = load_ytvis_json(vis_paths["val_json"], vis_paths["val_root"])
@@ -96,6 +105,7 @@ def run_arm(spec, vis_paths, sot_paths, seed=0, eval_limit=None):
                    cats, 192, 256)
     import jax
     out = {"spec": spec, "seed": seed, "steps": steps,
+           "sot_loss_scale": sot_scale,
            "vis_steps_drawn": counts.get("detection", 0),
            "sot_steps_drawn": counts.get("sot", 0),
            "train_seconds": round(train_s, 1),
@@ -179,8 +189,14 @@ def main():
         return {"mean": round(sum(vals) / len(vals), 4),
                 "min": min(vals), "max": max(vals), "n": len(vals)}
 
+    # per-spec stats (round 5 adds mitigation arms: ratio rebalance and
+    # sot_loss_scale — pooling all joint arms would blur the comparison)
+    specs = sorted({r["spec"] for r in results})
+    payload["per_spec"] = {
+        sp: _stats([r for r in results if r["spec"] == sp]) for sp in specs}
     single = [r for r in results if r["spec"] == "single@1000"]
-    joint = [r for r in results if r["spec"].startswith("joint")]
+    joint = [r for r in results if r["spec"] == "joint@1334:0.75"] or \
+        [r for r in results if r["spec"].startswith("joint")]
     if single and joint:
         s, j = _stats(single), _stats(joint)
         payload["single_at_1000"] = s

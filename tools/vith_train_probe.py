@@ -157,6 +157,9 @@ def main():
                              "480x736:bf16:image", "480x736:f32:image"])
     ap.add_argument("--single", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--out", default=os.path.join(REPO, "VITH_TRAIN.json"))
+    ap.add_argument("--merge", action="store_true",
+                    help="append to probes already in --out (round 5: adds "
+                         "the 800px-class arms without re-running round 4's)")
     args = ap.parse_args()
 
     if args.single:
@@ -191,6 +194,14 @@ def main():
                             f"{p.stderr[-300:]}"}
         print(f"[probe] {out}", flush=True)
         results.append(out)
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f).get("probes", [])
+        done = {(r.get("resolution"), r.get("task"), r.get("mu_dtype"))
+                for r in results}
+        results = [r for r in prev
+                   if (r.get("resolution"), r.get("task"),
+                       r.get("mu_dtype")) not in done] + results
     payload = {
         "probes": results,
         "reference_hardware": "32 A100-80GB (assets/TRAIN.md:3), "

@@ -151,6 +151,12 @@ class LossConfig:
     set_cost_class: float = 2.0
     set_cost_box: float = 5.0
     set_cost_giou: float = 2.0
+    # per-task loss scale for the routed SOT arm of joint video training.
+    # The reference balances tasks by mixture ratio alone (DATASET_RATIO,
+    # configs/video_joint_r50.yaml:38-75); this is the complementary lever
+    # for the measured toy-scale joint-VIS interference (JOINTABRESULT r4):
+    # keep SOT exposure but shrink its pull on the shared trunk.
+    sot_loss_scale: float = 1.0
     # BoxInst (MODEL.BOXINST.*) — box-supervised segmentation for BDD MOTS
     boxinst: bool = False
     boxinst_pairwise_size: int = 3

@@ -186,7 +186,8 @@ def make_video_train_step(model: UninextDETR, cfg: UninextConfig,
                     tgt(batch["targets_key"]), tgt(batch["targets_ref"]),
                     batch["images_ref"], task=task, rngs=rngs,
                     method=UninextDETR.forward_video_train)
-            return weighted_total(losses, weights), losses
+            scale = cfg.loss.sot_loss_scale if task == "sot" else 1.0
+            return weighted_total(losses, weights, task_weight=scale), losses
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
