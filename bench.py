@@ -38,13 +38,19 @@ import traceback
 _backend_ok = threading.Event()
 
 
-def _watchdog(limit_s=600):
+def _watchdog(limit_s=None):
+    if limit_s is None:
+        # round-5 session measured ~25 min for a HEALTHY backend init
+        # through the axon tunnel (two independent probes: 24m44s, 25m);
+        # 600 s would shoot a live run. Overridable for faster stacks.
+        limit_s = int(os.environ.get("UNINEXT_BENCH_WATCHDOG_S", "2700"))
     if not _backend_ok.wait(limit_s):
         print(json.dumps({
             "metric": "coco_det_r50_fps_per_chip_800px_bs1", "value": 0.0,
             "unit": "frames/sec", "vs_baseline": 0.0,
             "error": f"TPU backend unreachable for {limit_s}s "
-                     "(tunnel wedge — not a code failure)"}), flush=True)
+                     "(tunnel wedge — not a code failure; healthy init "
+                     "is ~25 min on this tunnel)"}), flush=True)
         os._exit(3)
 
 

@@ -156,6 +156,11 @@ def run_fps(args, results):
 
     sys.path.insert(0, REPO)
     import bench
+    # bench.py starts its backend watchdog at IMPORT; it is disarmed by
+    # bench.main() which we never call — disarm it here or it os._exits
+    # this process 45 min in (learned the hard way: first frontier run
+    # died at the first FPS point with rc=3)
+    bench._backend_ok.set()
 
     cfg = image_joint_r50()
     model = UninextDETR(cfg)
@@ -185,9 +190,13 @@ def run_fps(args, results):
                 return acc + post["scores"].sum() + post["boxes"].sum()
             return jax.lax.fori_loop(0, bench.N_ITERS, body, jnp.float32(0))
 
+        # reps=3 + min: single dispatches through the tunnel can block for
+        # tens of seconds when it degrades (first run: a bogus 0.49 FPS on
+        # a protocol later measured at ~16); the in-graph loop itself is
+        # deterministic compute, so min-of-3 rejects tunnel stalls
         dts = bench.time_fn(loop, p2, images, img_mask, sizes, text_ids,
-                            text_mask, lang)
-        fps = 1.0 / dts[0]
+                            text_mask, lang, reps=3)
+        fps = 1.0 / min(dts)
         if name.startswith("base"):
             base_fps = fps
         entry = results.setdefault(name, {

@@ -184,6 +184,41 @@ def flash_rel_pos_attention(q, k, v, Rh, Rw, scale: float) -> jnp.ndarray:
     return o[:, :, :S, :hd].transpose(0, 2, 1, 3).reshape(B, H, W, nh * hd)
 
 
+def _tp_axis_size() -> int:
+    """Size of the ambient mesh's "model" axis (1 = no tensor parallelism)."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or "model" not in getattr(mesh, "axis_names", ()):
+        return 1
+    return mesh.shape.get("model", 1)
+
+
+def flash_rel_pos_attention_tp(q, k, v, Rh, Rw, scale: float) -> jnp.ndarray:
+    """Tensor-parallel flash attention: heads shard over "model" via
+    shard_map (VERDICT r4 #5 — pallas_call has no SPMD partitioner, so
+    without this wrapper TP had to forfeit the 2.2x flash win by setting
+    vit_flash_attn=False).
+
+    Per-head attention is embarrassingly parallel: each chip runs the stock
+    kernel on its nh/k head slice with the full (replicated) rel-pos
+    tables, no collectives inside. The head-major output feature layout
+    (B, H, W, nh*hd) lands exactly in the column-parallel sharding the
+    row-parallel `proj` expects, so GSPMD's existing all-reduce after proj
+    is the only communication — identical to the XLA attention path's TP
+    schedule. Requires nh % tp == 0 (ViT-H nh=16 divides 2/4/8-way)."""
+    mesh = jax.sharding.get_abstract_mesh()
+    from jax.sharding import PartitionSpec as P
+    data = "data" if "data" in mesh.axis_names else None
+    fn = jax.shard_map(
+        lambda q_, k_, v_, Rh_, Rw_: flash_rel_pos_attention(
+            q_, k_, v_, Rh_, Rw_, scale),
+        mesh=mesh,
+        in_specs=(P(data, None, None, "model", None),
+                  P(data, None, "model", None),
+                  P(data, None, "model", None), P(), P()),
+        out_specs=P(data, None, None, "model"))
+    return fn(q, k, v, Rh, Rw)
+
+
 class Attention(nn.Module):
     """Full attention over a (H, W) grid with ViTDet decomposed relative
     position bias. `rel_pos_size` is the canonical table span the params
@@ -225,8 +260,12 @@ class Attention(nn.Module):
             # 3.2x qk FLOP tax that only pays off once the XLA path's
             # attention-sized materializations dominate. Gate on grid size.
             if self.use_flash and H * W >= 2048:
-                out = flash_rel_pos_attention(
-                    q.reshape(B, H, W, nh, hd), k, v, Rh, Rw, scale)
+                tp = _tp_axis_size()
+                attn_fn = (flash_rel_pos_attention_tp
+                           if tp > 1 and nh % tp == 0
+                           else flash_rel_pos_attention)
+                out = attn_fn(q.reshape(B, H, W, nh, hd), k, v, Rh, Rw,
+                              scale)
                 return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
             # TPU layout: expand the decomposed tables along the flattened
             # key axis so the bias lands directly in the lane-aligned
