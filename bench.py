@@ -18,11 +18,17 @@ throughput — the reference publishes no machine-readable numbers
 
 Methodology (see docs/PERF.md): the axon backend neither blocks in
 block_until_ready nor re-executes memoized dispatches, so each figure times
-N in-graph iterations (lax.fori_loop, input perturbed per iteration) inside
-ONE jit, syncs via scalar readback, and subtracts measured dispatch
-overhead. p50 latency is the median of 5 such measurements (deterministic
-static-shape compute: per-frame variance on-chip is negligible, so the
-median of means equals the median frame).
+in-graph iterations (lax.fori_loop with a TRACED trip count, input
+perturbed per iteration) inside ONE jit and syncs via scalar readback.
+Round-5 revision: the tunnel's per-call overhead is no longer a stable
+constant (observed seconds-level, minute-to-minute variance — it mis-
+measured a 15.96-FPS graph as 2.86), so instead of subtracting a sampled
+overhead, each figure is a TWO-POINT FIT: wall(N) = a + N*t measured at
+N1=10 and N2=110, t = (min-over-reps wall(N2) - min-over-reps wall(N1)) /
+100 — additive overhead cancels exactly. p50 latency is the median of the
+per-rep paired differences (deterministic static-shape compute: per-frame
+variance on-chip is negligible, so the median of means equals the median
+frame).
 
 Set UNINEXT_BENCH_CONFIGS=det,instseg,rec,vis,sot to subset.
 """
@@ -78,41 +84,36 @@ NUM_CLASSES = 80
 N_ITERS = 30
 
 
-def _overhead():
-    """Dispatch+readback overhead of one trivial jitted call. The remote
-    tunnel occasionally spikes 100x on a single dispatch, so take the MIN
-    of several samples — an overestimate would make fast loops measure
-    negative."""
-    trivial = jax.jit(lambda im: im.sum())
-    x = jnp.ones((256, 256))
-    float(trivial(x))
-    samples = []
-    for i in range(5):
-        t0 = time.perf_counter()
-        float(trivial(x + (i + 1)))
-        samples.append(time.perf_counter() - t0)
-    return min(samples)
+N1, N2 = 10, 110                   # two-point trip counts (traced arg)
 
 
-def time_fn(loop_fn, *args, n=N_ITERS, reps=1):
-    """loop_fn(*args) must run n in-graph iterations and return a scalar.
-    Returns a list of per-iteration seconds, one entry per rep."""
-    overhead = _overhead()
-    float(loop_fn(*args))                       # compile + warm
-    out = []
+def time_fn(loop_fn, *args, reps=3, **_ignored):
+    """loop_fn(n, *args) must run n in-graph iterations (TRACED trip
+    count — one executable serves both points) and return a scalar.
+
+    Two-point fit: wall(N) = a + N*t with `a` the tunnel's per-call
+    overhead (unstable, seconds-level on degraded days). Each rep measures
+    an interleaved (N1, N2) pair. Returns a list of per-iteration-seconds
+    estimates: index 0 is the ROBUST min-min estimate (use for FPS); the
+    remaining entries are per-rep paired differences (use their median for
+    p50 — on a healthy tunnel all entries coincide)."""
+    float(loop_fn(N1, *args))                   # compile + warm
+    w1s, w2s, pairs = [], [], []
     for r in range(1, reps + 1):
         pert = tuple(a * (1.0 + r * 1e-6) if isinstance(a, jnp.ndarray)
                      and jnp.issubdtype(a.dtype, jnp.floating) else a
                      for a in args)
         t0 = time.perf_counter()
-        float(loop_fn(*pert))
-        dt = time.perf_counter() - t0 - overhead
-        if dt <= 0:                 # tunnel spike swallowed the loop: retry
-            t0 = time.perf_counter()
-            float(loop_fn(*args))
-            dt = max(time.perf_counter() - t0 - overhead, 1e-9)
-        out.append(dt / n)
-    return out
+        float(loop_fn(N1, *pert))
+        w1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(loop_fn(N2, *pert))
+        w2 = time.perf_counter() - t0
+        w1s.append(w1)
+        w2s.append(w2)
+        pairs.append(max((w2 - w1) / (N2 - N1), 1e-9))
+    robust = max((min(w2s) - min(w1s)) / (N2 - N1), 1e-9)
+    return [robust] + pairs
 
 
 def emit(metric, value, unit, baseline, extra=None):
@@ -169,7 +170,7 @@ def bench_det(model, params, H=800, W=1216,
             params, text_ids, text_mask)
 
     @jax.jit
-    def loop(p, im, msk, sz, tid, tmsk, lg):
+    def loop(n, p, im, msk, sz, tid, tmsk, lg):
         def body(i, acc):
             out = model.apply(p, im + i * 1e-9, msk, sz, tid, tmsk,
                               task="detection", train=False, lang_dict=lg)
@@ -177,7 +178,7 @@ def bench_det(model, params, H=800, W=1216,
                 {k: out[k] for k in ("pred_logits", "pred_boxes",
                                      "pred_boxious")}, cls_token_map)
             return acc + post["scores"].sum() + post["boxes"].sum()
-        return jax.lax.fori_loop(0, N_ITERS, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     dts = time_fn(loop, params, images, img_mask, sizes, text_ids,
                   text_mask, lang)
@@ -198,7 +199,7 @@ def bench_instseg(model, params, cfg):
             params, text_ids, text_mask)
 
     @jax.jit
-    def loop(p, im, msk, sz, tid, tmsk, lg):
+    def loop(n, p, im, msk, sz, tid, tmsk, lg):
         def body(i, acc):
             out = model.apply(p, im + i * 1e-9, msk, sz, tid, tmsk,
                               task="detection", train=False, lang_dict=lg)
@@ -213,7 +214,7 @@ def bench_instseg(model, params, cfg):
             masks = model.apply(p, out["memory"], shapes, hs_sel, ref_sel,
                                 sz, method=UninextDETR.predict_masks)
             return acc + post["scores"].sum() + masks.mean()
-        return jax.lax.fori_loop(0, N_ITERS, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     dts = time_fn(loop, params, images, img_mask, sizes, text_ids,
                   text_mask, lang)
@@ -231,7 +232,7 @@ def bench_rec(model, params, cfg):
     text_ids, text_mask, _ = _prompt(length=20)   # typical expression length
 
     @jax.jit
-    def loop(p, im, msk, sz, tid, tmsk):
+    def loop(n, p, im, msk, sz, tid, tmsk):
         def body(i, acc):
             out = model.apply(p, im + i * 1e-9, msk, sz, tid, tmsk,
                               task="grounding", train=False)
@@ -250,7 +251,7 @@ def bench_rec(model, params, cfg):
             mask = model.apply(p, out["memory"], shapes, hs_sel, ref_sel,
                                sz, method=UninextDETR.predict_masks)
             return acc + box.sum() + mask.mean()
-        return jax.lax.fori_loop(0, N_ITERS, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     dts = time_fn(loop, params, images, img_mask, sizes, text_ids, text_mask)
     return emit("rec_res_r50_fps_per_chip_800px_bs1", 1.0 / dts[0],
@@ -270,16 +271,16 @@ def bench_vis():
     step = make_vis_frame_step(model, cfg, cls_token_map, H, W)
 
     @jax.jit
-    def loop(pp, im, msk, sz, tid, tmsk):
+    def loop(n, pp, im, msk, sz, tid, tmsk):
         def body(i, acc):
             r = step.__wrapped__(pp, im + i * 1e-9, msk, sz, tid, tmsk)
             return acc + r["max_scores"].sum() + r["mask_logits"].mean() \
                 + r["embeds"].mean()
-        return jax.lax.fori_loop(0, N_ITERS, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     dts = time_fn(loop, p, images, img_mask, sizes, text_ids, text_mask,
                   reps=5)
-    p50 = sorted(dts)[len(dts) // 2]
+    p50 = sorted(dts[1:])[len(dts[1:]) // 2]
     r1 = emit("ytvis_r50_video_fps_per_chip_480x736", 1.0 / dts[0],
               "frames/sec", 20.0)
     r2 = emit("ytvis_r50_p50_frame_latency", p50 * 1000, "ms", 50.0)
@@ -309,17 +310,17 @@ def bench_sot():
         step = make_sot_frame_step(model, cfg, H, W, with_mask=True)
 
         @jax.jit
-        def loop(pp, im, msk, sz, lh, lm, step=step):
+        def loop(n, pp, im, msk, sz, lh, lm, step=step):
             def body(i, acc):
                 r = step.__wrapped__(pp, im + i * 1e-9, msk, sz, lh, lm)
                 return acc + r["score"].sum() + r["box_cxcywh"].sum() \
                     + r["mask_logits"].mean()
-            return jax.lax.fori_loop(0, N_ITERS, body, jnp.float32(0))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
         dts = time_fn(loop, p, images, img_mask, sizes, lang["hidden"],
                       lang["masks"], reps=reps)
         if tag == "480x736":
-            p50 = sorted(dts)[len(dts) // 2]
+            p50 = sorted(dts[1:])[len(dts[1:]) // 2]
             out.append(emit("sot_vos_vith_fps_per_chip_480x736",
                             1.0 / dts[0], "frames/sec", base_fps))
             out.append(emit("sot_vos_vith_p50_frame_latency", p50 * 1000,
