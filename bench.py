@@ -152,6 +152,60 @@ def _init_full(cfg):
 
 
 # --------------------------------------------------------------------------
+def bench_det_fast(cfg, params0):
+    """Config 1b (round 5): detection serving at the PROMOTED eval
+    protocol from the frontier sweep (FRONTIER.json["promoted"] — the
+    fastest protocol whose paired AP delta on the trained fixture is
+    within noise; VERDICT r4 #1). Same trained weights, cheaper protocol:
+    fewer two-stage queries / sampling points / lower eval resolution —
+    all eval knobs the reference itself ships (single-task configs use
+    300 queries; uninext/config.py:160,163-164)."""
+    import dataclasses
+    here = os.path.dirname(os.path.abspath(__file__))
+    fpath = os.path.join(here, "FRONTIER.json")
+    if not os.path.exists(fpath):
+        return None
+    with open(fpath) as f:
+        prom = json.load(f).get("promoted")
+    if not prom:
+        return None
+    from uninext_tpu.engine.protocol import adapt_params
+    from uninext_tpu.models.postprocess import postprocess_detection
+    scale = prom["res_scale"]
+    H = int(-(-800 * scale // 32) * 32)
+    W = int(-(-1216 * scale // 32) * 32)
+    p2, cfg2 = adapt_params(params0, cfg,
+                            num_queries=prom["num_queries"],
+                            enc_n_points=prom["enc_points"],
+                            dec_n_points=prom["dec_points"])
+    model = UninextDETR(cfg2)
+    images, img_mask, sizes = _image_inputs(H, W)
+    text_ids, text_mask, cls_token_map = _prompt()
+    lang = jax.jit(lambda p, tid, tmsk: model.apply(
+        p, tid, tmsk, method=UninextDETR.encode_text))(
+            p2, text_ids, text_mask)
+
+    @jax.jit
+    def loop(n, p, im, msk, sz, tid, tmsk, lg):
+        def body(i, acc):
+            out = model.apply(p, im + i * 1e-9, msk, sz, tid, tmsk,
+                              task="detection", train=False, lang_dict=lg)
+            post = postprocess_detection(
+                {k: out[k] for k in ("pred_logits", "pred_boxes",
+                                     "pred_boxious")}, cls_token_map)
+            return acc + post["scores"].sum() + post["boxes"].sum()
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    dts = time_fn(loop, p2, images, img_mask, sizes, text_ids, text_mask,
+                  lang)
+    r = emit("coco_det_r50_fps_fast_protocol", 1.0 / dts[0],
+             "frames/sec", 20.0,
+             extra={"protocol": prom["name"], "serving_shape": [H, W],
+                    "ap_delta_vs_base_fixture": prom.get(
+                        "ap_delta_vs_base")})
+    return r
+
+
 def bench_det(model, params, H=800, W=1216,
               metric="coco_det_r50_fps_per_chip_800px_bs1"):
     """Config 1: detection serving, prompt cached (encode BERT once).
@@ -335,17 +389,19 @@ def main():
     jax.devices()                     # force backend init under the watchdog
     _backend_ok.set()
     want = os.environ.get("UNINEXT_BENCH_CONFIGS",
-                          "det,det_median,instseg,rec,vis,sot").split(",")
+                          "det,det_median,det_fast,instseg,rec,vis,sot"
+                          ).split(",")
     results = {}
     cfg = image_joint_r50()
     model = params = None
-    if {"det", "det_median", "instseg", "rec"} & set(want):
+    if {"det", "det_median", "det_fast", "instseg", "rec"} & set(want):
         model, params = _init_full(cfg)
     for name, fn in (
             ("det", lambda: bench_det(model, params)),
             ("det_median", lambda: bench_det(
                 model, params, H=800, W=1088,
                 metric="coco_det_r50_fps_per_chip_median_shape")),
+            ("det_fast", lambda: bench_det_fast(cfg, params)),
             ("instseg", lambda: bench_instseg(model, params, cfg)),
             ("rec", lambda: bench_rec(model, params, cfg)),
             ("vis", bench_vis),
@@ -354,6 +410,8 @@ def main():
             continue
         try:
             r = fn()
+            if r is None:            # det_fast without a FRONTIER.json
+                continue
             if isinstance(r, tuple):
                 for x in r:
                     results[x["metric"]] = x

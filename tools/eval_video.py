@@ -44,6 +44,10 @@ def parse_args():
     p.add_argument("--bucket", type=int, nargs=2, default=None,
                    help="static (H, W) network bucket; default from preset")
     p.add_argument("--max-videos", type=int, default=0)
+    p.add_argument("--rvos-temporal-weight", type=float, default=None,
+                   help="rvos only: blend selection with reid cosine to "
+                        "the previous frame's pick (round 5; 0/None = "
+                        "reference frame-independent scoring)")
     p.add_argument("--dump-dets", metavar="DIR",
                    help="mot only: also cache per-sequence raw detections "
                         "(+gt when a BDD labels dir sits next to the "
@@ -426,6 +430,10 @@ def main():
     args = parse_args()
     os.makedirs(args.output_dir, exist_ok=True)
     model, params, cfg, HW, _ = build(args)
+    if args.rvos_temporal_weight is not None:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, rvos_temporal_weight=args.rvos_temporal_weight)
     if args.task in ("vis", "vis21", "ovis"):
         run_vis(args, model, params, cfg, HW)
     elif args.task == "sot":

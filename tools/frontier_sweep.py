@@ -247,6 +247,15 @@ def save(args, results, partial=False):
             if v.get("ap_bbox") is not None:
                 v["ap_delta_vs_base"] = round(
                     v["ap_bbox"] - base["ap_bbox"], 4)
+    # promote the best AP-parity point: fastest protocol whose paired AP
+    # delta on the fixture is within noise (>= -0.015 absolute; the val
+    # set is 48 images so one borderline detection moves AP ~0.01)
+    cands = [(k, v) for k, v in results.items()
+             if v.get("fps_det") and v.get("ap_delta_vs_base") is not None
+             and v["ap_delta_vs_base"] >= -0.015]
+    if cands:
+        k, v = max(cands, key=lambda kv: kv[1]["fps_det"])
+        payload["promoted"] = {"name": k, **v}
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
 
