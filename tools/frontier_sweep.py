@@ -143,6 +143,34 @@ def run_ap(args, results):
               f"({time.time()-t0:.0f}s)", flush=True)
         save(args, results, partial=True)
 
+    # segm AP (instseg parity) for base + the would-be promoted point only
+    # (a full segm sweep doubles eval cost for little information)
+    save(args, results, partial=True)
+    with open(args.out) as f:
+        prom = json.load(f).get("promoted")
+    segm_targets = ["base_900q_p44_800px"] + ([prom["name"]] if prom else [])
+    for name in segm_targets:
+        q, ep, dp, scale = next(
+            (pq, pe, pd, ps) for (pn, pq, pe, pd, ps) in PROTOCOLS
+            if pn == name)
+        h, w = fixture_res(scale)
+        cfg_p = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, min_size_test=h,
+                                          max_size_test=w))
+        p2, cfg_p = adapt_params({"params": params}, cfg_p, num_queries=q,
+                                 enc_n_points=ep, dec_n_points=dp)
+        model2 = UninextDETR(cfg_p)
+        eval_mapper = UniDatasetMapper(cfg_p.data, cats, tok,
+                                       is_train=False, with_masks=True)
+        ev = DetectionEvaluator(model2, cfg_p, cmap, with_masks=True)
+        res = ev.evaluate(p2["params"], val_recs, eval_mapper,
+                          score_thr=0.05)
+        results[name]["ap_segm"] = (
+            None if not np.isfinite(res["AP"]) else round(float(res["AP"]),
+                                                          4))
+        print(f"[ap-segm] {name}: {results[name]['ap_segm']}", flush=True)
+        save(args, results, partial=True)
+
 
 def _walltime(loop, n, args_):
     """One synchronous wall-clock sample of loop(n, *args_)."""
