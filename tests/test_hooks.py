@@ -164,3 +164,47 @@ def test_tensorboard_writer_emits_event_file(tmp_path):
     w.close()
     files = list(tmp_path.glob("events.out.tfevents.*"))
     assert files and files[0].stat().st_size > 0
+
+
+def test_tensorboard_writer_skips_stale_scalars(tmp_path):
+    """ADVICE r4: a scalar not re-put since the last write must NOT be
+    re-emitted at a later iter (reference TensorboardXWriter tracks the
+    last-written iteration per key); fresh puts at the same key write at
+    their put-iteration."""
+    from uninext_tpu.engine.events import (TensorBoardWriter,
+                                           tensorboard_available)
+    if not tensorboard_available():
+        import pytest
+        pytest.skip("tensorboard not in image")
+    st = EventStorage()
+    w = TensorBoardWriter(str(tmp_path))
+    st.iter = 5
+    st.put_scalars(loss=1.0)
+    w.write(st)
+    assert w._last_write["loss"] == 5
+    st.iter = 25                 # periodic write fires again, no new put
+    w.write(st)
+    assert w._last_write["loss"] == 5, "stale scalar was re-emitted"
+    st.put_scalars(loss=0.5)     # fresh value at iter 25
+    w.write(st)
+    assert w._last_write["loss"] == 25
+    w.close()
+
+
+def test_periodic_writer_closes_writers_after_train(tmp_path):
+    """ADVICE r4: SummaryWriter buffers asynchronously (flush_secs=120);
+    PeriodicWriter.after_train must close every writer or tail events are
+    lost on process exit. JSONWriter's file handle doubles as the probe."""
+    from uninext_tpu.engine.events import JSONWriter
+    from uninext_tpu.engine.hooks import PeriodicWriter
+
+    class T:
+        pass
+
+    t = T()
+    t.storage = EventStorage()
+    t.storage.put_scalars(loss=1.0)
+    jw = JSONWriter(str(tmp_path / "metrics.json"))
+    t.writers = [jw]
+    PeriodicWriter().after_train(t)
+    assert jw._f.closed
