@@ -203,7 +203,38 @@ def bench_det_fast(cfg, params0):
              extra={"protocol": prom["name"], "serving_shape": [H, W],
                     "ap_delta_vs_base_fixture": prom.get(
                         "ap_delta_vs_base")})
-    return r
+
+    # instseg at the same promoted protocol (its segm-AP parity is checked
+    # by the frontier's ap_segm pass on base + promoted)
+    from uninext_tpu.models.detr import feature_shapes
+    K = 100
+    shapes = feature_shapes(cfg2.transformer.num_feature_levels, H, W)
+
+    @jax.jit
+    def loop_seg(n, p, im, msk, sz, tid, tmsk, lg):
+        def body(i, acc):
+            out = model.apply(p, im + i * 1e-9, msk, sz, tid, tmsk,
+                              task="detection", train=False, lang_dict=lg)
+            post = postprocess_detection(
+                {k: out[k] for k in ("pred_logits", "pred_boxes",
+                                     "pred_boxious")}, cls_token_map,
+                max_inst=K)
+            hs_sel = jnp.take_along_axis(
+                out["hs"], post["query_idx"][..., None], axis=1)
+            ref_sel = jnp.take_along_axis(
+                out["base_reference"], post["query_idx"][..., None], axis=1)
+            masks = model.apply(p, out["memory"], shapes, hs_sel, ref_sel,
+                                sz, method=UninextDETR.predict_masks)
+            return acc + post["scores"].sum() + masks.mean()
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    dts = time_fn(loop_seg, p2, images, img_mask, sizes, text_ids,
+                  text_mask, lang)
+    r2 = emit("coco_instseg_r50_fps_fast_protocol", 1.0 / dts[0],
+              "frames/sec", 17.0,
+              extra={"protocol": prom["name"], "serving_shape": [H, W],
+                     "ap_segm_base_vs_promoted": "FRONTIER.json ap_segm"})
+    return r, r2
 
 
 def bench_det(model, params, H=800, W=1216,
