@@ -84,10 +84,12 @@ NUM_CLASSES = 80
 N_ITERS = 30
 
 
-N1, N2 = 10, 110                   # two-point trip counts (traced arg)
+N1, N2 = 10, 310                   # two-point trip counts (traced arg);
+# N2 sized so the compute term dwarfs a single tunnel stall (stalls
+# cluster in time — see docs/PERF.md round-5 section)
 
 
-def time_fn(loop_fn, *args, reps=3, **_ignored):
+def time_fn(loop_fn, *args, reps=5, **_ignored):
     """loop_fn(n, *args) must run n in-graph iterations (TRACED trip
     count — one executable serves both points) and return a scalar.
 

@@ -233,12 +233,19 @@ def run_fps(args, results):
         # wall(N) = a + N*t with a unknown and noisy, so measure N1 and N2
         # several times, take min over reps (a is additive-positive), and
         # difference: t = (min wall(N2) - min wall(N1)) / (N2 - N1).
-        N1, N2, REPS = 10, 110, 3
+        # N2=310 + 5 interleaved reps: tunnel stalls CLUSTER in time (the
+        # first pass measured 2.65 "FPS" at 736px between 12.9 at 800 and
+        # 22.3 at 672 — every N2 sample of that window hit a stall), so
+        # make the compute term large relative to a stall and spread
+        # samples across a wider window; min-over-reps then differences.
+        N1, N2, REPS = 10, 310, 5
         args_ = (p2, images, img_mask, sizes, text_ids, text_mask, lang)
         float(loop(N1, *args_))                      # compile + warm
-        w1 = min(_walltime(loop, N1, args_) for _ in range(REPS))
-        w2 = min(_walltime(loop, N2, args_) for _ in range(REPS))
-        dt = max((w2 - w1) / (N2 - N1), 1e-9)
+        w1s, w2s = [], []
+        for _ in range(REPS):
+            w1s.append(_walltime(loop, N1, args_))
+            w2s.append(_walltime(loop, N2, args_))
+        dt = max((min(w2s) - min(w1s)) / (N2 - N1), 1e-9)
         fps = 1.0 / dt
         if name.startswith("base"):
             base_fps = fps
