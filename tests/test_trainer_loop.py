@@ -100,3 +100,66 @@ def test_trainer_grad_accum_units(coco_dir, tmp_path):
     assert np.array_equal(seen[3], seen[2])
     assert not np.array_equal(seen[4], seen[3])  # update 2
     assert int(trainer.state.step) == 4
+
+
+def test_chunked_steps_match_sequential(coco_dir, tmp_path):
+    """solver.chunk_steps=k (round-5 dispatch amortization): ONE jitted
+    lax.scan of k steps must produce the same final params as k sequential
+    dispatches — same rng stream, same optimizer updates."""
+    import jax
+    from uninext_tpu.data.coco import UniDatasetMapper, load_coco_json
+    from uninext_tpu.data.loader import MultiDatasetLoader
+    from uninext_tpu.engine.trainer import Trainer
+
+    def build(chunk, out):
+        cfg = small_cfg()
+        cfg = dataclasses.replace(
+            cfg,
+            data=dataclasses.replace(cfg.data, min_size_train=(64,),
+                                     max_size_train=96),
+            solver=dataclasses.replace(cfg.solver, max_iter=4,
+                                       checkpoint_period=10 ** 9,
+                                       warmup_iters=1, chunk_steps=chunk))
+        records, cats = load_coco_json(str(coco_dir / "train.json"),
+                                       str(coco_dir))
+        mapper = UniDatasetMapper(cfg.data, cats, is_train=True)
+        loader = iter(MultiDatasetLoader([(records, mapper, 2)], [1.0],
+                                         seed=0, num_workers=1))
+        tr = Trainer(cfg, loader, output_dir=out, task="detection",
+                     use_mesh=False, log_period=1)
+        tr.train()
+        return tr
+
+    t_seq = build(1, str(tmp_path / "seq"))
+    t_chk = build(2, str(tmp_path / "chk"))
+    assert int(t_seq.state.step) == int(t_chk.state.step) == 4
+    a = jax.tree_util.tree_leaves(t_seq.state.params)
+    b = jax.tree_util.tree_leaves(t_chk.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_chunked_steps_flush_partial_tail(coco_dir, tmp_path):
+    """total not divisible by chunk: the tail dispatches as a smaller
+    chunk and the step count still lands exactly on max_iter."""
+    import dataclasses as dc
+    from uninext_tpu.data.coco import UniDatasetMapper, load_coco_json
+    from uninext_tpu.data.loader import MultiDatasetLoader
+    from uninext_tpu.engine.trainer import Trainer
+
+    cfg = small_cfg()
+    cfg = dc.replace(
+        cfg,
+        data=dc.replace(cfg.data, min_size_train=(64,), max_size_train=96),
+        solver=dc.replace(cfg.solver, max_iter=5, checkpoint_period=10 ** 9,
+                          warmup_iters=1, chunk_steps=3))
+    records, cats = load_coco_json(str(coco_dir / "train.json"),
+                                   str(coco_dir))
+    mapper = UniDatasetMapper(cfg.data, cats, is_train=True)
+    loader = iter(MultiDatasetLoader([(records, mapper, 2)], [1.0], seed=0,
+                                     num_workers=1))
+    tr = Trainer(cfg, loader, output_dir=str(tmp_path / "o"),
+                 task="detection", use_mesh=False, log_period=1)
+    tr.train()
+    assert int(tr.state.step) == 5

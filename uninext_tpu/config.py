@@ -250,6 +250,16 @@ class SolverConfig:
     # for ViT-H's two-tower 1.3B-param stage 3 (docs/PERF.md ViT-H
     # feasibility); multi-chip runs shard the state instead and keep f32.
     adam_mu_dtype: Optional[str] = None
+    # dispatch amortization (round 5): run k train steps per device
+    # dispatch via ONE jitted lax.scan over k host-stacked same-(task,
+    # shape) batches. The math is IDENTICAL to k sequential steps (same
+    # optimizer updates, same rng stream per step); only host<->device
+    # round-trips drop by k. The lever for high-latency links (this
+    # sandbox's tunnel stalls seconds per dispatch) and a genuine
+    # production win on remote-coordinator topologies. Routed multi-task
+    # loaders buffer per (task, shape) and dispatch each chunk when full,
+    # preserving mixture ratios while locally reordering across tasks.
+    chunk_steps: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -233,6 +233,17 @@ class UniDatasetMapper:
             s = min(self.lsj_size / h0, self.lsj_size / w0) * scale
             h = min(int(round(h0 * s)), self.lsj_size)
             w = min(int(round(w0 * s)), self.lsj_size)
+        elif self.lsj:
+            # eval letterbox at the TRAIN canvas (deterministic scale=1 of
+            # the jitter range, same square bucket). Round 5: a from-
+            # scratch ViT trained only on lsj_size grids collapses (AP
+            # ~0.0002) when evaluated at shortest-edge rectangles its
+            # rel-pos tables never saw; conv backbones shrug this off.
+            # Matching eval geometry to train geometry is the honest
+            # fixture protocol for grid-sensitive backbones.
+            s = min(self.lsj_size / h0, self.lsj_size / w0)
+            h = min(int(round(h0 * s)), self.lsj_size)
+            w = min(int(round(w0 * s)), self.lsj_size)
         elif self.is_train:
             # 50/50 crop-vs-plain pipeline, reference transform_img
             # (coco_dataset_mapper_uni.py:175-184)
@@ -272,7 +283,7 @@ class UniDatasetMapper:
         return arr.astype(np.float32), (h0, w0), g
 
     def _bucket(self, h: int, w: int) -> Tuple[int, int]:
-        if self.lsj and self.is_train:
+        if self.lsj:
             return self.lsj_size, self.lsj_size
         d = self.cfg.size_divisibility
         return round_up(h, d), round_up(w, d)

@@ -162,8 +162,12 @@ class MultiDatasetLoader:
             rec_iter = self._sample_records()
             with ThreadPoolExecutor(max_workers=max(self.num_workers, 1)) as ex:
                 pending = []
-                for d, record in rec_iter:
-                    seed = random.Random(self.seed ^ hash((d, id(record))))
+                # per-draw aug seed keyed by the DRAW INDEX, not id(record):
+                # object addresses differ between otherwise-identical runs,
+                # which silently made "seed=0" loaders non-reproducible
+                # (caught by the round-5 chunked-trainer parity test)
+                for i, (d, record) in enumerate(rec_iter):
+                    seed = random.Random(self.seed ^ hash((d, i)))
                     pending.append((d, ex.submit(self.datasets[d][1], record,
                                                  seed)))
                     if len(pending) >= 2 * self.num_workers + 1:

@@ -99,6 +99,7 @@ class Trainer:
                 cfg, jax.random.PRNGKey(0), _to_jnp(_strip(first)),
                 task=first_task, has_masks=has_masks)
             self._steps = {}
+        self._chunked: Dict = {}
         self._step_for(first_task)
         self._pending_first = first
         # hook stack (engine/hooks.py — reference DefaultTrainer.build_hooks,
@@ -132,8 +133,24 @@ class Trainer:
         """The hook loop (reference TrainerBase.train,
         engine/train_loop.py:133-160): before/after hooks around one jitted
         routed step; all periodic behavior (writers, checkpoints, eval,
-        profiler window, memory stats) lives in engine/hooks.py."""
+        profiler window, memory stats) lives in engine/hooks.py.
+
+        With solver.chunk_steps=k > 1, k same-(task, shape) batches are
+        host-stacked and dispatched as ONE jitted lax.scan of the routed
+        step — numerically identical to k sequential steps, k fewer
+        host<->device round-trips (dispatch amortization for high-latency
+        links). Hooks then fire once per chunk with iter advanced by k and
+        metrics["time"] reported per step."""
         cfg = self.cfg.solver
+        # UNINEXT_CHUNK_STEPS: sandbox/session override for dispatch
+        # amortization without touching each tool's cfg (the tunnel's
+        # per-dispatch stalls are an environment property, not a recipe
+        # property); an explicit cfg.chunk_steps > 1 wins.
+        import os as _os
+        env_chunk = int(_os.environ.get("UNINEXT_CHUNK_STEPS", "1"))
+        chunk = max(1, getattr(cfg, "chunk_steps", 1), env_chunk)
+        if getattr(cfg, "chunk_steps", 1) > 1:
+            chunk = cfg.chunk_steps
         start = int(self.state.step)
         rng = jax.random.PRNGKey(1234 + start)
         batch = self._pending_first
@@ -143,27 +160,96 @@ class Trainer:
         # max_iter is in optimizer-update units; with grad_accum_steps=k the
         # loop runs k micro-steps per update (optax MultiSteps applies the
         # clipped AdamW update once per k). state.step counts micro-steps.
-        for it in range(start, cfg.max_iter * self.accum):
+        total = cfg.max_iter * self.accum
+
+        def next_batch():
+            nonlocal data_iter
+            try:
+                return next(data_iter)
+            except StopIteration:
+                data_iter = iter(self.loader)
+                return next(data_iter)
+
+        if chunk > 1:
+            self._train_chunked(chunk, start, total, rng, batch, next_batch)
+        else:
+            for it in range(start, total):
+                self.storage.iter = it
+                for h in self.hooks:
+                    h.before_step(self)
+                t0 = time.perf_counter()
+                rng, step_rng = jax.random.split(rng)
+                step = (self._step_for(batch["__task__"])
+                        if "__task__" in batch else self._step_for(self.task))
+                self.state, metrics = step(self.state,
+                                           _to_jnp(_strip(batch)), step_rng)
+                batch = next_batch()             # overlap host mapping
+                metrics = dict(metrics)
+                metrics["time"] = time.perf_counter() - t0
+                for h in self.hooks:
+                    h.after_step(self, metrics)
+        for h in self.hooks:
+            h.after_train(self)
+
+    # ------------------------------------------------------------------
+    def _chunked_step_for(self, task: str, k: int):
+        """ONE jitted scan of k routed steps (compiled per (task, k))."""
+        key = (task, k)
+        if key not in self._chunked:
+            base = self._step_for(task)
+
+            def chunked(state, stacked, rngs):
+                def body(st, xs):
+                    b, r = xs
+                    st, m = base(st, b, r)
+                    return st, m
+                state, ms = jax.lax.scan(body, state, (stacked, rngs))
+                # last step's metrics (scalars) — cheap to fetch
+                return state, jax.tree.map(lambda x: x[-1], ms)
+
+            self._chunked[key] = jax.jit(chunked, donate_argnums=0)
+        return self._chunked[key]
+
+    def _train_chunked(self, chunk, start, total, rng, first, next_batch):
+        import jax.numpy as jnp
+        buffers: Dict = {}
+        it = start
+        batch = first
+        while it < total:
+            sig = (batch.get("__task__", self.task),
+                   tuple(sorted((k, tuple(np.asarray(v).shape))
+                                for k, v in _strip(batch).items()
+                                if hasattr(v, "shape") or
+                                isinstance(v, np.ndarray))))
+            buffers.setdefault(sig, []).append(_to_jnp(_strip(batch)))
+            items = buffers[sig]
+            k = min(chunk, total - it)
+            if len(items) < k:
+                batch = next_batch()
+                continue
+            del buffers[sig]
+            task = sig[0]
             self.storage.iter = it
             for h in self.hooks:
                 h.before_step(self)
             t0 = time.perf_counter()
-            rng, step_rng = jax.random.split(rng)
-            step = self._step_for(batch["__task__"]) if "__task__" in batch \
-                else self._step_for(self.task)
-            self.state, metrics = step(self.state, _to_jnp(_strip(batch)),
-                                       step_rng)
-            try:
-                batch = next(data_iter)          # overlap host mapping
-            except StopIteration:
-                data_iter = iter(self.loader)
-                batch = next(data_iter)
+            keys = []
+            for _ in range(len(items)):
+                rng, sr = jax.random.split(rng)
+                keys.append(sr)
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *items)
+            step = self._chunked_step_for(task, len(items))
+            self.state, metrics = step(self.state, stacked,
+                                       jnp.stack(keys))
+            wall = time.perf_counter() - t0
+            it += len(items)
+            self.storage.iter = it - 1
             metrics = dict(metrics)
-            metrics["time"] = time.perf_counter() - t0
+            metrics["time"] = wall / len(items)
             for h in self.hooks:
                 h.after_step(self, metrics)
-        for h in self.hooks:
-            h.after_train(self)
+            if it < total:
+                batch = next_batch()
 
 
 def _strip(batch):
