@@ -173,7 +173,15 @@ def install_reference_shims():
             setattr(mu, name, getattr(ptu, name))
 
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        # APPEND, never insert(0): the reference tree has top-level
+        # demo.py/train_net.py that would otherwise shadow our tools/
+        # modules for any test that runs after a mirror test in the same
+        # process (round-5 finding: test_boxinst, added in round 4, broke
+        # 4 test_tools_cli tests in the FULL suite this way — the quick
+        # lane never sees it because both sides are marked heavy).
+        # Everything the shim needs from the reference ('uninext', its
+        # vendored modules) has a unique name, so tail position is safe.
+        sys.path.append(REFERENCE_ROOT)
 
     # The real uninext/__init__.py drags in detectron2 (absent here). Register
     # a bare package object so submodule imports traverse without running it.

@@ -62,20 +62,64 @@ class DetectionEvaluator:
         self._steps[key] = step
         return step
 
+    def _map_step_for(self, H: int, W: int):
+        """lax.map of the per-image step over a stacked group: ONE device
+        dispatch per bucket instead of one per image (round 5 — through
+        this sandbox's tunnel, per-image dispatch made a 48-image eval
+        cost ~25 minutes; batched it is one round-trip)."""
+        key = ("map", H, W)
+        if key in self._steps:
+            return self._steps[key]
+        step = self._step_for(H, W)
+
+        @jax.jit
+        def map_step(params, images, masks, sizes, tids, tmasks):
+            return jax.lax.map(
+                lambda xs: step.__wrapped__(params, *xs),
+                (images, masks, sizes, tids, tmasks))
+
+        self._steps[key] = map_step
+        return map_step
+
     def evaluate(self, params, records: Sequence[Dict],
                  mapper: UniDatasetMapper,
-                 score_thr: float = 0.0) -> Dict[str, float]:
+                 score_thr: float = 0.0,
+                 batched: bool = True) -> Dict[str, float]:
         ev = COCOEvaluator("segm" if self.with_masks else "bbox")
-        for rec in records:
-            s = mapper(rec)
-            Hb, Wb = s.bucket
-            step = self._step_for(Hb, Wb)
-            post = step(params, jnp.asarray(s.image[None]),
-                        jnp.asarray(s.img_mask[None]),
-                        jnp.asarray(s.image_size[None]),
-                        jnp.asarray(s.text_ids[None]),
-                        jnp.asarray(s.text_mask[None]))
-            post = {k: np.asarray(v)[0] for k, v in post.items()}
+        samples = [mapper(rec) for rec in records]
+        posts: List[Dict] = [None] * len(records)
+        if batched:
+            # group by bucket, one lax.map dispatch per group
+            groups: Dict = {}
+            for i, s in enumerate(samples):
+                groups.setdefault(tuple(s.bucket), []).append(i)
+            for (Hb, Wb), idxs in groups.items():
+                ms = self._map_step_for(Hb, Wb)
+                out = ms(params,
+                         jnp.asarray(np.stack(
+                             [samples[i].image[None] for i in idxs])),
+                         jnp.asarray(np.stack(
+                             [samples[i].img_mask[None] for i in idxs])),
+                         jnp.asarray(np.stack(
+                             [samples[i].image_size[None] for i in idxs])),
+                         jnp.asarray(np.stack(
+                             [samples[i].text_ids[None] for i in idxs])),
+                         jnp.asarray(np.stack(
+                             [samples[i].text_mask[None] for i in idxs])))
+                out = {k: np.asarray(v) for k, v in out.items()}
+                for j, i in enumerate(idxs):
+                    posts[i] = {k: v[j][0] for k, v in out.items()}
+        else:
+            for i, s in enumerate(samples):
+                Hb, Wb = s.bucket
+                step = self._step_for(Hb, Wb)
+                post = step(params, jnp.asarray(s.image[None]),
+                            jnp.asarray(s.img_mask[None]),
+                            jnp.asarray(s.image_size[None]),
+                            jnp.asarray(s.text_ids[None]),
+                            jnp.asarray(s.text_mask[None]))
+                posts[i] = {k: np.asarray(v)[0] for k, v in post.items()}
+        for rec, s, post in zip(records, samples, posts):
             h, w = s.image_size
             oh, ow = rec["height"], rec["width"]
             boxes = post["boxes"] * [w, h, w, h]
