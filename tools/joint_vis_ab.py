@@ -161,8 +161,16 @@ def main():
                                 max_objects=2)
     sot_paths = make_mini_ytvis(sot_root, length=8, max_objects=1, seed=11)
 
-    results = [run_arm(s, vis_paths, sot_paths, seed=seed)
-               for s in args.arms for seed in args.seeds]
+    # incremental save after each arm (round 5: the TPU queue bounds this
+    # tool with a timeout; an end-only write would lose every finished arm)
+    results = []
+    # seed-major order: one full pass over every arm per seed, so a
+    # timeout partway still leaves every arm with >= 1 seed of evidence
+    for seed in args.seeds:
+        for s in args.arms:
+            results.append(run_arm(s, vis_paths, sot_paths, seed=seed))
+            with open(args.out + ".partial", "w") as f:
+                json.dump({"arms": results, "partial": True}, f, indent=1)
     if args.merge and os.path.exists(args.out):
         with open(args.out) as f:
             prev = json.load(f).get("arms", [])
