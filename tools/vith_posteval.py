@@ -89,12 +89,11 @@ def main():
         "train_matched_letterbox224_bbox": results[
             "train_matched_letterbox224"],
         "shortest_edge_224_bbox": results["shortest_edge_224"],
-        "diagnosis": "from-scratch ViT-H trains (losses converge) but its "
-                     "rel-pos tables generalize poorly from the 14x14 LSJ "
-                     "train grid to shortest-edge eval grids; the "
-                     "reference's ViT-H is MAE-pretrained and immune. "
-                     "train-matched geometry is the honest fixture "
-                     "protocol for the 'preset trains' claim.",
+        "diagnosis": "measured round 5: train-matched letterbox eval ALSO "
+                     "scores ~0 — geometry exonerated; see the corrected "
+                     "diagnosis written into APRESULT.json (stochastic "
+                     "depth p=0.5 train/eval gap is the live hypothesis, "
+                     "tested by the vith_dp0.1 arm).",
     }
     with open(args.out, "w") as f:
         json.dump(existing, f, indent=1)
