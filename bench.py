@@ -468,7 +468,8 @@ def main():
         full["extra"] = dict(summary)
         # end-to-end AP evidence (tools/real_ap_check.py, real_vis_check.py)
         here = os.path.dirname(os.path.abspath(__file__))
-        for fn, key in (("APRESULT.json", "real_format_ap"),
+        for fn, key in (("FRONTIER.json", "protocol_frontier"),
+                        ("APRESULT.json", "real_format_ap"),
                         ("VISRESULT.json", "real_format_vis_map"),
                         ("SOTRESULT.json", "real_format_sot_auc"),
                         ("RECRESULT.json", "real_format_rec"),
